@@ -1,0 +1,79 @@
+"""Co-occurrence relationship derivation (J6 + A1 + P6).
+
+Reference semantics (kg_scripts/go_terms_interconnector.py:103-203): for two
+entity families annotated to the same gene, count DISTINCT shared genes per
+(a, b) pair, keep pairs with count ≥ 3, and tier confidence
+high ≥ 50 / medium ≥ 10 / low ≥ 3 (thresholds at
+go_terms_interconnector.py:44-46, tiering at :114-121).
+
+In the web-pages engine the "shared gene" is the shared *document*: entities
+co-mentioned in a document get a co-occurrence edge weighted by distinct
+document count.
+
+Scale design (SURVEY.md §7.4-3 — the quadratic blowup is here):
+1. aggregate to DISTINCT (doc, entity) *before* the pair join (the
+   reference counts distinct after expansion; distinct-first is equivalent
+   for countDistinct and cuts the join input);
+2. optionally cap per-doc fan-out (a doc mentioning 10⁴ entities creates
+   5·10⁷ pairs; ``max_entities_per_doc`` bounds it; NULL = exact);
+3. the self-join shuffles both sides on the doc key once — same
+   partitioning, Catalyst reuses the exchange; AQE skew-join splits giant
+   docs;
+4. pair counting is a map-side-combinable hash aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_TIERS: tuple[tuple[int, str], ...] = ((50, "high"), (10, "medium"), (3, "low"))
+
+
+def confidence_tier(count_col, tiers=DEFAULT_TIERS):
+    """when-chain confidence tiers (go_terms_interconnector.py:114-121)."""
+    expr = None
+    for threshold, label in tiers:
+        cond = count_col >= threshold
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return expr.otherwise(F.lit("below_threshold"))
+
+
+def cooccurrence_edges(
+    links: DataFrame,
+    doc_col: str = "doc_id",
+    ent_col: str = "canonical_id",
+    min_count: int = 3,
+    tiers=DEFAULT_TIERS,
+    max_entities_per_doc: int | None = None,
+) -> DataFrame:
+    """links(doc, entity, ...) → edges(subj, obj, shared_docs, confidence)
+    with subj < obj (undirected canonical form)."""
+    pairs_in = links.select(doc_col, ent_col).distinct()
+    if max_entities_per_doc is not None:
+        # deterministic cap: keep the lexicographically-first k entities
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(doc_col).orderBy(ent_col)
+        pairs_in = (
+            pairs_in.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_entities_per_doc)
+            .drop("_rn")
+        )
+    a = pairs_in.alias("a")
+    b = pairs_in.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col(f"a.{doc_col}") == F.col(f"b.{doc_col}"))
+            & (F.col(f"a.{ent_col}") < F.col(f"b.{ent_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{ent_col}").alias("subj"),
+            F.col(f"b.{ent_col}").alias("obj"),
+        )
+        .agg(F.countDistinct(F.col(f"a.{doc_col}")).alias("shared_docs"))
+    )
+    return pair_counts.filter(F.col("shared_docs") >= min_count).withColumn(
+        "confidence", confidence_tier(F.col("shared_docs"), tiers)
+    )

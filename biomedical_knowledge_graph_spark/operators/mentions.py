@@ -1,0 +1,154 @@
+"""Dictionary mention detection over document text (north_star: "batched
+mention detection ... in Arrow batches").
+
+The reference probes in-memory dicts per record (gene cache probe,
+kg_scripts/talisman_gene_validator.py:99-145; reference-lookup probes,
+kg_scripts/go_kg_builder.py:237-304). The Spark-native equivalent for a
+*multi-token, large* dictionary is an Aho-Corasick automaton built once per
+executor from a broadcast alias list, run over Arrow batches via
+``mapInPandas`` — O(len(text)) per document regardless of dictionary size,
+no per-row Python at the DataFrame layer.
+
+Scale notes:
+- the alias dictionary ships once per executor (Spark broadcast), not per
+  task; the automaton is memoized per (process, broadcast id);
+- input is pruned to (id, text) before the scan so shuffles never carry
+  other columns through the Python worker;
+- output is exploded mention rows — downstream consumers should aggregate
+  to distinct (doc, entity) before any pair join (see cooccurrence.py).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class AhoCorasick:
+    """Minimal pure-Python Aho-Corasick automaton (lowercase patterns).
+
+    find_all returns (start, end, pattern) for every occurrence; the caller
+    applies word-boundary filtering. Built once per executor process.
+    """
+
+    def __init__(self, patterns: Iterable[str]) -> None:
+        # goto is a list of dicts: state -> {char: state}
+        self.goto: list[dict[str, int]] = [{}]
+        self.out: list[list[str]] = [[]]
+        self.fail: list[int] = [0]
+        for pat in sorted(set(p for p in patterns if p)):
+            self._insert(pat)
+        self._build_failure()
+
+    def _insert(self, pat: str) -> None:
+        state = 0
+        for ch in pat:
+            nxt = self.goto[state].get(ch)
+            if nxt is None:
+                self.goto.append({})
+                self.out.append([])
+                self.fail.append(0)
+                nxt = len(self.goto) - 1
+                self.goto[state][ch] = nxt
+            state = nxt
+        self.out[state].append(pat)
+
+    def _build_failure(self) -> None:
+        q: deque[int] = deque()
+        for s in self.goto[0].values():
+            self.fail[s] = 0
+            q.append(s)
+        while q:
+            r = q.popleft()
+            for ch, s in self.goto[r].items():
+                q.append(s)
+                f = self.fail[r]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[s] = self.goto[f].get(ch, 0)
+                if self.fail[s] == s:
+                    self.fail[s] = 0
+                self.out[s] = self.out[s] + self.out[self.fail[s]]
+
+    def find_all(self, text: str) -> list[tuple[int, int, str]]:
+        state = 0
+        hits: list[tuple[int, int, str]] = []
+        goto, fail, out = self.goto, self.fail, self.out
+        for i, ch in enumerate(text):
+            while state and ch not in goto[state]:
+                state = fail[state]
+            state = goto[state].get(ch, 0)
+            if out[state]:
+                for pat in out[state]:
+                    hits.append((i - len(pat) + 1, i + 1, pat))
+        return hits
+
+
+def _is_word_char(ch: str) -> bool:
+    return ch.isalnum() or ch == "_"
+
+
+def _word_bounded(text: str, start: int, end: int) -> bool:
+    if start > 0 and _is_word_char(text[start - 1]):
+        return False
+    if end < len(text) and _is_word_char(text[end]):
+        return False
+    return True
+
+
+_AUTOMATON_CACHE: dict[int, AhoCorasick] = {}
+
+
+def scan_mentions(
+    docs: DataFrame,
+    aliases: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    word_boundary: bool = True,
+) -> DataFrame:
+    """docs(id, text, ...) → mentions(id, surface, begin, end).
+
+    Matching is case-insensitive (aliases are lowered; text is lowered for
+    matching, offsets refer to the original text). ``begin``/``end`` are
+    [start, end) character offsets.
+    """
+    spark = docs.sparkSession
+    id_field = docs.schema[id_col]
+    bc = spark.sparkContext.broadcast(sorted({a.lower() for a in aliases if a}))
+    out_schema = (
+        f"{id_col} {id_field.dataType.simpleString()}, "
+        "surface string, begin int, end int"
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        key = id(bc.value)
+        ac = _AUTOMATON_CACHE.get(key)
+        if ac is None:
+            ac = AhoCorasick(bc.value)
+            _AUTOMATON_CACHE[key] = ac
+        for pdf in batches:
+            ids: list = []
+            surfaces: list[str] = []
+            begins: list[int] = []
+            ends: list[int] = []
+            for doc_id, text in zip(pdf[id_col].values, pdf[text_col].values):
+                if not isinstance(text, str) or not text:
+                    continue
+                low = text.lower()
+                for s, e, pat in ac.find_all(low):
+                    if word_boundary and not _word_bounded(low, s, e):
+                        continue
+                    ids.append(doc_id)
+                    surfaces.append(pat)
+                    begins.append(s)
+                    ends.append(e)
+            yield pd.DataFrame(
+                {id_col: ids, "surface": surfaces, "begin": begins, "end": ends}
+            )
+
+    pruned = docs.select(id_col, text_col)
+    return pruned.mapInPandas(scan, schema=out_schema)

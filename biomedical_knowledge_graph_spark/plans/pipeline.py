@@ -1,0 +1,127 @@
+"""The end-to-end KG-construction pipeline (SURVEY.md §7.1 dataflow):
+
+pages(url, warc_ts, html, lang)
+  ① extract: pandas UDF html→text (byte-identical)            [S1]
+  ② mention detection: Aho-Corasick Arrow scan                [§2.9]
+  ③ entity linking: broadcast alias dim                        [J1/J8]
+  ④ canonicalization incl. obsolete remap                      [J3/J4, SO2]
+  ⑤ entity dedup: connected components over shared-alias graph [J5]
+  ⑥ relation building: co-occurrence groupBy + thresholds      [J6, A1, P6]
+  ⑦ triple materialization: anti-join dedup + snapshot commit  [J2, K1]
+  ⑧ metrics                                                     [A2-A11]
+
+Each stage is a DataFrame transform; nothing collects to the driver except
+final metrics. At cluster scale the pages scan is an Iceberg table and the
+sinks are Iceberg MERGE INTO; offline both ends are parquet with identical
+semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biomedical_knowledge_graph_spark.operators.components import (
+    connected_components,
+)
+from biomedical_knowledge_graph_spark.operators.cooccurrence import (
+    cooccurrence_edges,
+)
+from biomedical_knowledge_graph_spark.operators.extraction import extract_pages
+from biomedical_knowledge_graph_spark.operators.linking import (
+    link_mentions,
+    resolve_obsolete,
+)
+from biomedical_knowledge_graph_spark.operators.mentions import scan_mentions
+from biomedical_knowledge_graph_spark.sinks.table_format import SnapshotTable
+
+
+@dataclass
+class KGResult:
+    docs: DataFrame
+    links: DataFrame
+    nodes: DataFrame
+    triples: DataFrame
+
+
+def alias_component_map(dim_current: DataFrame) -> DataFrame:
+    """⑤ entity resolution: ids sharing an alias merge (J5 as CC).
+
+    Returns (canonical_id, resolved_id). Linking through the per-alias
+    minimum id keeps hub aliases linear (no k² pair blowup)."""
+    anchor = dim_current.groupBy("alias").agg(
+        F.min("canonical_id").alias("dst")
+    )
+    edges = (
+        dim_current.join(anchor, "alias")
+        .select(F.col("canonical_id").alias("src"), "dst")
+        .filter(F.col("src") != F.col("dst"))
+    )
+    cc = connected_components(edges)
+    ids = dim_current.select("canonical_id").distinct()
+    return ids.join(
+        cc, ids["canonical_id"] == cc["node"], "left"
+    ).select(
+        "canonical_id",
+        F.coalesce(F.col("component"), F.col("canonical_id")).alias("resolved_id"),
+    )
+
+
+def build_kg(
+    spark: SparkSession,
+    pages: DataFrame,
+    entity_dim: DataFrame,
+    min_cooccur: int = 3,
+    triples_sink: SnapshotTable | None = None,
+    run_id: str | None = None,
+) -> KGResult:
+    # ① extract + prune html immediately (keep bytes out of every shuffle)
+    docs = extract_pages(pages).filter(F.length("text") > 0)
+
+    # ② mention scan — dictionary ships as one broadcast
+    dim_current = resolve_obsolete(entity_dim)
+    aliases = [r["alias"] for r in dim_current.select("alias").distinct().collect()]
+    mentions = scan_mentions(docs, aliases, id_col="url", text_col="text")
+
+    # ③ link via broadcast dim
+    linked = link_mentions(mentions, dim_current, id_col="url").filter(
+        F.col("canonical_id").isNotNull()
+    )
+
+    # ④+⑤ canonicalize: collapse ids that share aliases (connected components)
+    comp_map = alias_component_map(dim_current)
+    links = (
+        linked.join(F.broadcast(comp_map), "canonical_id")
+        .select(
+            F.col("url").alias("doc_id"),
+            F.col("resolved_id").alias("entity_id"),
+            "entity_type",
+        )
+        .distinct()
+    )
+
+    # node table: one row per resolved entity
+    nodes = links.groupBy("entity_id").agg(
+        F.min("entity_type").alias("entity_type"),
+        F.countDistinct("doc_id").alias("doc_count"),
+    )
+
+    # ⑥ co-occurrence triples
+    co = cooccurrence_edges(
+        links, doc_col="doc_id", ent_col="entity_id", min_count=min_cooccur
+    )
+    triples = co.select(
+        F.col("subj"),
+        F.lit("CO_OCCURS_WITH").alias("pred"),
+        F.col("obj"),
+        F.col("shared_docs").alias("weight"),
+        F.col("confidence"),
+    )
+
+    # ⑦ idempotent materialization
+    if triples_sink is not None:
+        triples_sink.merge_append(triples, run_id=run_id)
+
+    return KGResult(docs=docs, links=links, nodes=nodes, triples=triples)

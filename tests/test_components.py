@@ -1,0 +1,79 @@
+"""Connected components vs a union-find oracle."""
+
+from __future__ import annotations
+
+import random
+
+
+from biomedical_knowledge_graph_spark.operators.components import (
+    connected_components,
+    resolve_entities,
+)
+
+
+def uf_components(edges: list[tuple[str, str]]) -> dict[str, str]:
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    nodes = {n for e in edges for n in e}
+    # path-compress fully, then map every root to the true min of its comp
+    groups: dict[str, list[str]] = {}
+    for n in nodes:
+        groups.setdefault(find(n), []).append(n)
+    return {n: min(g) for g in groups.values() for n in g}
+
+
+def run_cc(spark, edges: list[tuple[str, str]]) -> dict[str, str]:
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r.node: r.component for r in connected_components(df).collect()}
+
+
+def test_path_graph(spark):
+    edges = [(f"n{i}", f"n{i+1}") for i in range(12)]
+    assert run_cc(spark, edges) == uf_components(edges)
+
+
+def test_star_and_two_components(spark):
+    edges = [("hub", f"leaf{i}") for i in range(8)] + [("x1", "x2"), ("x2", "x3")]
+    assert run_cc(spark, edges) == uf_components(edges)
+
+
+def test_random_graphs(spark):
+    rng = random.Random(5)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (f"v{rng.randrange(n):03d}", f"v{rng.randrange(n):03d}")
+            for _ in range(45)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        assert run_cc(spark, edges) == uf_components(edges), f"trial {trial}"
+
+
+def test_resolve_entities_shared_keys(spark):
+    nodes = spark.createDataFrame(
+        [
+            ("E1", "symA", "u1"),
+            ("E2", "symA", "u2"),   # shares symbol with E1
+            ("E3", "symB", "u2"),   # shares uniprot with E2 → chain E1-E2-E3
+            ("E4", "symC", None),   # isolated
+            ("E5", None, ""),       # empty keys never link
+        ],
+        "canonical_id string, symbol string, uniprot string",
+    )
+    got = {
+        r.canonical_id: r.resolved_id
+        for r in resolve_entities(nodes, ["symbol", "uniprot"]).collect()
+    }
+    assert got == {"E1": "E1", "E2": "E1", "E3": "E1", "E4": "E4", "E5": "E5"}

@@ -1,0 +1,84 @@
+"""Aho-Corasick mention scanner vs a naive oracle."""
+
+from __future__ import annotations
+
+import random
+import re
+
+from biomedical_knowledge_graph_spark.operators.mentions import (
+    AhoCorasick,
+    scan_mentions,
+)
+
+
+def naive_find(text: str, patterns: list[str]) -> set[tuple[int, int, str]]:
+    out = set()
+    low = text.lower()
+    for p in patterns:
+        for m in re.finditer(re.escape(p), low):
+            s, e = m.start(), m.end()
+            before_ok = s == 0 or not (low[s - 1].isalnum() or low[s - 1] == "_")
+            after_ok = e == len(low) or not (low[e].isalnum() or low[e] == "_")
+            if before_ok and after_ok:
+                out.add((s, e, p))
+    return out
+
+
+def test_automaton_overlapping_patterns():
+    ac = AhoCorasick(["he", "she", "his", "hers"])
+    hits = set(ac.find_all("ushers"))
+    assert hits == {(1, 4, "she"), (2, 4, "he"), (2, 6, "hers")}
+
+
+def test_automaton_matches_naive_random():
+    rng = random.Random(0)
+    vocab = ["ab", "abc", "bca", "c", "cab", "aabb", "b"]
+    for _ in range(50):
+        text = "".join(rng.choice("abc ") for _ in range(200))
+        ac = AhoCorasick(vocab)
+        got = set(ac.find_all(text))
+        want = {
+            (m.start(), m.end(), p)
+            for p in set(vocab)
+            for m in re.finditer(re.escape(p), text)
+        }
+        assert got == want
+
+
+def test_scan_mentions_word_boundary(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha kinase binds Beta channel"),
+            (2, "alphakinase is not a mention; alpha kinase is"),
+            (3, None),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = scan_mentions(docs, ["alpha kinase", "beta channel"]).collect()
+    rows = {(r.doc_id, r.surface, r.begin, r.end) for r in got}
+    assert (1, "alpha kinase", 0, 12) in rows
+    assert (1, "beta channel", 19, 31) in rows
+    assert (2, "alpha kinase", 30, 42) in rows
+    assert len([r for r in rows if r[0] == 2]) == 1  # alphakinase rejected
+    assert not [r for r in rows if r[0] in (3, 4)]
+
+
+def test_scan_mentions_matches_naive(spark):
+    rng = random.Random(3)
+    vocab = ["spark", "data frame", "hash join", "scan", "row"]
+    filler = ["x", "yy", "zzz", "spark", "scanner", "rows", "data"]
+    rows = []
+    for i in range(40):
+        words = [rng.choice(filler + vocab) for _ in range(rng.randint(3, 20))]
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.begin, r.end, r.surface)
+        for r in scan_mentions(docs, vocab).collect()
+    }
+    want = set()
+    for i, text in rows:
+        for s, e, p in naive_find(text, vocab):
+            want.add((i, s, e, p))
+    assert got == want

@@ -1,0 +1,50 @@
+"""End-to-end P/R gate: Spark pipeline triples vs an independent pure-Python
+reference ruleset (BASELINE.md target: P/R ≥ 0.95)."""
+
+from __future__ import annotations
+
+from biomedical_knowledge_graph_spark import fixtures
+from biomedical_knowledge_graph_spark.plans.pipeline import build_kg
+from biomedical_knowledge_graph_spark.sinks.table_format import SnapshotTable
+
+
+def test_triples_match_reference_ruleset(spark, tmp_path):
+    pages_pdf = fixtures.pages_pdf(n_pages=250, seed=42)
+    pages = spark.createDataFrame(pages_pdf, schema=fixtures.PAGES_SCHEMA)
+    dim = fixtures.entity_dict_df(spark)
+
+    sink = SnapshotTable(str(tmp_path / "triples"), key_cols=["subj", "pred", "obj"])
+    result = build_kg(spark, pages, dim, min_cooccur=3, triples_sink=sink)
+
+    got = {
+        (r.subj, r.pred, r.obj) for r in result.triples.collect()
+    }
+    want = fixtures.reference_triples(pages_pdf, min_count=3)
+    assert want, "reference ruleset produced no triples — fixture too small"
+
+    tp = len(got & want)
+    precision = tp / len(got) if got else 0.0
+    recall = tp / len(want)
+    assert precision >= 0.95, f"precision {precision:.3f}; diff={got - want}"
+    assert recall >= 0.95, f"recall {recall:.3f}; diff={want - got}"
+
+    # sink got the same triples, exactly once
+    sink.assert_unique_keys(spark)
+    assert sink.count(spark) == len(got)
+
+    # rerun over the same input: resume contract — nothing new lands
+    again = build_kg(spark, pages, dim, min_cooccur=3, triples_sink=sink)
+    assert sink.count(spark) == len(got)
+    assert again is not None
+
+
+def test_obsolete_aliases_remap(spark):
+    pages = spark.createDataFrame(
+        fixtures.pages_pdf(n_pages=120, seed=9), schema=fixtures.PAGES_SCHEMA
+    )
+    dim = fixtures.entity_dict_df(spark)
+    result = build_kg(spark, pages, dim, min_cooccur=2)
+    ids = {r.entity_id for r in result.links.select("entity_id").distinct().collect()}
+    assert "ENT:0000012" not in ids  # obsolete id never appears
+    # shared-alias pair collapsed: ENT:0000010 resolved into ENT:0000009
+    assert "ENT:0000010" not in ids
