@@ -1,0 +1,101 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full materialization of
+every output column — a bare count() would let Catalyst prune the very
+columns under test). Extra keys report the KG-pipeline throughput
+(triples/sec) on a generated pages corpus; scaling-efficiency evidence
+(local[8] vs local[32]) lives in tools/bench_scaling.py → BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from biomedical_knowledge_graph_spark.queries import REGISTRY  # noqa: E402
+from biomedical_knowledge_graph_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "kg_links",
+    "kg_triples",
+    "kg_connected_components",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "pricing_summary",
+    "customer_order_degree",
+    "segment_brand_overlap",
+    "doc_quality",
+    "lineitem_measures_unpivot",
+]
+
+
+def force(df) -> None:
+    """Materialize every output column (noop sink; no driver collect)."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="bkg-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    # warm the JVM/Arrow path once so per-query numbers measure the plan,
+    # not first-call initialization
+    force(REGISTRY["pricing_summary"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        force(REGISTRY[name].fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # KG-pipeline throughput: pages -> triples end-to-end on a generated
+    # corpus (the north-rule metric)
+    from biomedical_knowledge_graph_spark import fixtures
+    from biomedical_knowledge_graph_spark.plans.pipeline import build_kg
+
+    n_pages = int(os.environ.get("BKG_BENCH_PAGES", "4000"))
+    pages = fixtures.pages_df(spark, n_pages=n_pages, seed=42).cache()
+    pages.count()
+    dim = fixtures.entity_dict_df(spark)
+    t0 = time.time()
+    result = build_kg(spark, pages, dim, min_cooccur=3)
+    n_triples = result.triples.count()
+    n_links = result.links.count()
+    pipe_wall = time.time() - t0
+    pages.unpersist()
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "pipeline": {
+            "pages": n_pages,
+            "links": n_links,
+            "triples": n_triples,
+            "wall_s": round(pipe_wall, 3),
+            "triples_per_sec": round(n_triples / pipe_wall, 1),
+            "pages_per_sec": round(n_pages / pipe_wall, 1),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""Multimodal (binary) column plumbing for training-data pipelines.
+
+Images/audio/video ride through the engine as opaque ``binary`` columns with
+typed metadata, exactly like ``pages.html``. The Spark-side contract —
+schema, Arrow batch shape, partition sizing — is real and tested; the
+actual media decoding is stubbed (`NotImplementedError` or a deterministic
+fake) because codec libraries are not in this container. Swapping in a real
+decoder changes only the body of the pandas function, not the plan.
+
+Scale notes: binary payloads dominate partition size — size partitions by
+``spark.sql.files.maxPartitionBytes`` (bytes, not rows) and project payload
+columns away immediately after feature extraction, as extraction.py does
+for html.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_MAGIC = (
+    (b"\x89PNG", "png"),
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"GIF8", "gif"),
+    (b"RIFF", "riff"),
+    (b"%PDF", "pdf"),
+    (b"<", "markup"),
+)
+
+
+def sniff_format(payload: bytes | None) -> str:
+    if not payload:
+        return "empty"
+    for magic, name in _MAGIC:
+        if payload.startswith(magic):
+            return name
+    return "unknown"
+
+
+def decode_image(payload: bytes) -> "object":
+    """STUB: real image decode requires a codec library not present in this
+    container. The Spark plumbing around it (binary_metadata, batching,
+    schema) is real and tested."""
+    raise NotImplementedError("image codecs unavailable in this environment")
+
+
+def fake_thumbnail_features(payload: bytes, n_buckets: int = 8) -> list[int]:
+    """Deterministic stand-in for decode→resize→featurize: a byte-value
+    histogram over ``n_buckets`` buckets. Exercises the exact batch shape a
+    real feature extractor would have (binary in, fixed-length vector out)."""
+    hist = [0] * n_buckets
+    if payload:
+        for byte in payload:
+            hist[byte * n_buckets // 256] += 1
+    return hist
+
+
+def binary_metadata(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    with_features: bool = False,
+) -> DataFrame:
+    """(id, n_bytes, content_hash, format[, features]) via mapInPandas —
+    the canonical binary-column feature-extraction plan: prune to
+    (id, payload), Arrow batches through Python once, payload dropped on
+    output."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, n_bytes long, content_hash string, format string"
+    if with_features:
+        schema += ", features array<int>"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                id_col: pdf[id_col].values,
+                "n_bytes": [
+                    len(p) if p is not None else 0 for p in pdf[payload_col]
+                ],
+                "content_hash": [
+                    hashlib.md5(p if p is not None else b"").hexdigest()
+                    for p in pdf[payload_col]
+                ],
+                "format": [sniff_format(p) for p in pdf[payload_col]],
+            }
+            if with_features:
+                out["features"] = [
+                    fake_thumbnail_features(p) for p in pdf[payload_col]
+                ]
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(extract, schema=schema)

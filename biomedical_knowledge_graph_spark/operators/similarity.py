@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — exact, O(|queries|·|corpus|); the
+dot product runs JVM-side (zip_with + aggregate fold, deterministic
+left-to-right summation order so the DuckDB oracle, folding in the same
+index order, matches bit-for-bit after rounding).
+
+Scale path: LSH bucketing (random hyperplanes) — candidates only within
+matching sign-buckets, probed across multiple tables; recall traded for a
+shuffle that is O(docs × tables) instead of O(docs²). IVF-style variant:
+assign to nearest of k seeded centroids, search within cell.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("_norm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, score): exact top-k by cosine, ranked
+    with deterministic tie-break on neighbor id. Query side is broadcast —
+    the corpus streams through one stage with no shuffle until the
+    per-query top-k (TakeOrdered within window)."""
+    q = with_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        ),
+        "_qv",
+    ).withColumnRenamed("_norm", "_qn")
+    c = with_norm(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        ),
+        "_cv",
+    ).withColumnRenamed("_norm", "_cn")
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "score",
+            F.round(
+                _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+                round_to,
+            ),
+        )
+        .select("query_id", "neighbor_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def cosine_near_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embedding near-dup detection):
+    (id_a, id_b, score), id_a < id_b. Exact; LSH-gate at corpus scale."""
+    a = with_norm(
+        df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")), "_va"
+    ).withColumnRenamed("_norm", "_na")
+    b = with_norm(
+        df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")), "_vb"
+    ).withColumnRenamed("_norm", "_nb")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "score",
+            F.round(
+                _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+                round_to,
+            ),
+        )
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 13) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(float).tolist()
+
+
+def lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 13,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH bucket id per vector: bit i = sign(v · plane_i). Pure
+    column arithmetic over a literal plane matrix (broadcast as constants
+    in the plan — no Python, no shuffle)."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        bit = (_dot(F.col(vec_col), arr) > 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, i)
+    return df.withColumn("lsh_bucket", bucket)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 12,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign-bucket,
+    then exact cosine rank within it. At scale the bucket join replaces the
+    full cross product; recall depends on n_planes (fewer planes → bigger
+    buckets → higher recall, more compute)."""
+    cb = lsh_bucket(corpus, dim, n_planes, seed, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        "lsh_bucket",
+    )
+    qb = lsh_bucket(queries, dim, n_planes, seed, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        "lsh_bucket",
+    )
+    joined = cb.join(F.broadcast(qb), "lsh_bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    qn = F.sqrt(_dot(F.col("_qv"), F.col("_qv")))
+    cn = F.sqrt(_dot(F.col("_cv"), F.col("_cv")))
+    scored = joined.withColumn(
+        "score", F.round(_dot(F.col("_qv"), F.col("_cv")) / (qn * cn), round_to)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )

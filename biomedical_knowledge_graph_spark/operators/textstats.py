@@ -1,0 +1,124 @@
+"""Text analysis for training-data pipelines: language-ID, quality scoring,
+token counting, document fingerprinting. All pure built-in column functions
+(whole-stage codegen; no Python in the hot path) so they run at scan speed
+over a 100 TB corpus.
+
+Reference analogues: token classification when-chains
+(kg_scripts/omics_drug_integration.py:49-76), contains-chain standardization
+(omics_viral_integration.py:73-138), regex normalization
+(talisman_geneset_parser.py:266-288).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language marker lists (n-gram/stopword heuristic); deterministic
+# and mirrored verbatim in the DuckDB oracle
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "y", "es"),
+}
+
+
+def tokens(text_col: str = "text") -> Column:
+    """Whitespace tokens, empties dropped (JVM-side)."""
+    return F.filter(F.split(F.col(text_col), " "), lambda t: F.length(t) > 0)
+
+
+def token_count(text_col: str = "text") -> Column:
+    return F.size(tokens(text_col)).cast("long")
+
+
+def bpe_ish_token_count(text_col: str = "text") -> Column:
+    """Sub-word-ish token count: word pieces of ≤4 chars (a BPE-style
+    upper-bound estimator: ceil(len(word)/4) summed), pure arithmetic."""
+    return F.aggregate(
+        tokens(text_col),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("long"),
+    )
+
+
+def marker_hits(lang: str, text_col: str = "text") -> Column:
+    """How many tokens are markers of ``lang``."""
+    markers = LANG_MARKERS[lang]
+    return F.size(
+        F.filter(tokens(text_col), lambda t: t.isin(*markers))
+    ).cast("long")
+
+
+def predict_lang(text_col: str = "text") -> Column:
+    """argmax over marker-hit counts, ties broken by language code order,
+    'und' (undetermined) when no marker hits at all."""
+    scored = None
+    for lang in sorted(LANG_MARKERS):
+        hits = marker_hits(lang, text_col)
+        pair = F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
+        scored = pair if scored is None else F.when(
+            pair["hits"] > scored["hits"], pair
+        ).otherwise(scored)
+    return F.when(scored["hits"] > 0, scored["lang"]).otherwise(F.lit("und"))
+
+
+def quality_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc quality indicators: n_chars, n_tokens, distinct-token ratio,
+    mean token length, stopword ratio; composite score in [0,1] rounded to
+    6 dp (single projection, one pass)."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks).cast("long")
+    distinct_ratio = F.round(
+        F.size(F.array_distinct(toks)) / F.greatest(n_tokens, F.lit(1)), 6
+    )
+    mean_tok_len = F.round(
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        )
+        / F.greatest(n_tokens, F.lit(1)),
+        6,
+    )
+    stop_ratio = F.round(
+        marker_hits("en", text_col) / F.greatest(n_tokens, F.lit(1)), 6
+    )
+    score = F.round(
+        F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * 0.4
+        + distinct_ratio * 0.4
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.2,
+        6,
+    )
+    return df.select(
+        id_col,
+        F.length(text_col).cast("long").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        distinct_ratio.alias("distinct_ratio"),
+        mean_tok_len.alias("mean_tok_len"),
+        stop_ratio.alias("stop_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram: int = 8,
+    keep: int = 4,
+) -> DataFrame:
+    """Winnowing-style document fingerprint: the ``keep`` smallest md5
+    digests over char-``gram``-grams (rolling-hash analogue; md5 keeps the
+    DuckDB oracle bit-identical). Output: (id, fingerprint array<string>)."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {gram - 1}, 0)),"
+        f" i -> md5(cast(substring({text_col}, i, {gram}) as binary)))"
+    )
+    return df.select(
+        id_col,
+        F.slice(F.array_sort(F.array_distinct(grams)), 1, keep).alias(
+            "fingerprint"
+        ),
+    )

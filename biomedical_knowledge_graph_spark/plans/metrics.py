@@ -1,0 +1,93 @@
+"""Golden-metrics module (A2-A11, W1): the read-only aggregate report that is
+the reference's de-facto correctness artifact
+(kg_scripts/biomedical_kg_metrics.py:165-261; golden snapshot at
+kg_scripts/neo4j_schema_outputs/biomedical_kg_metrics.json).
+
+One pass of groupBy queries over the node/edge tables → one JSON-able dict.
+Every aggregate is exact (the thresholds in the pipeline depend on exact
+counts); at 10¹² scale the lineage counters could switch to
+approx_count_distinct, but the golden report stays exact by contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def node_metrics(nodes: DataFrame, type_col: str = "entity_type") -> dict:
+    """Node counts by label (biomedical_kg_metrics.py:35-60)."""
+    by_type = {
+        r[type_col]: r["n"]
+        for r in nodes.groupBy(type_col).agg(F.count("*").alias("n")).collect()
+    }
+    return {"total_nodes": sum(by_type.values()), "nodes_by_type": by_type}
+
+
+def edge_metrics(edges: DataFrame, pred_col: str = "pred") -> dict:
+    """Relationship counts by type (biomedical_kg_metrics.py:62-78)."""
+    by_pred = {
+        r[pred_col]: r["n"]
+        for r in edges.groupBy(pred_col).agg(F.count("*").alias("n")).collect()
+    }
+    return {"total_edges": sum(by_pred.values()), "edges_by_type": by_pred}
+
+
+def connectivity_metrics(
+    edges: DataFrame, subj_col: str = "subj", obj_col: str = "obj"
+) -> dict:
+    """Degree stats (biomedical_kg_metrics.py:80-118): avg/max degree over
+    the undirected endpoint multiset, plus orphan-free node count."""
+    endpoints = edges.select(F.col(subj_col).alias("node")).unionByName(
+        edges.select(F.col(obj_col).alias("node"))
+    )
+    deg = endpoints.groupBy("node").agg(F.count("*").alias("degree"))
+    row = deg.agg(
+        F.count("*").alias("connected_nodes"),
+        F.avg("degree").alias("avg_degree"),
+        F.max("degree").alias("max_degree"),
+    ).collect()[0]
+    return {
+        "connected_nodes": row["connected_nodes"],
+        "avg_degree": round(row["avg_degree"], 4) if row["avg_degree"] else 0.0,
+        "max_degree": row["max_degree"],
+    }
+
+
+def quality_metrics(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "entity_id",
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+) -> dict:
+    """Quality indicators (biomedical_kg_metrics.py:120-163): orphan nodes
+    (no edges), dangling endpoints (edge references a missing node)."""
+    endpoints = (
+        edges.select(F.col(subj_col).alias(id_col))
+        .unionByName(edges.select(F.col(obj_col).alias(id_col)))
+        .distinct()
+    )
+    orphans = nodes.select(id_col).distinct().join(endpoints, id_col, "left_anti")
+    dangling = endpoints.join(nodes.select(id_col).distinct(), id_col, "left_anti")
+    return {
+        "orphan_nodes": orphans.count(),
+        "dangling_endpoints": dangling.count(),
+    }
+
+
+def collect_all_metrics(nodes: DataFrame, triples: DataFrame) -> dict:
+    """The full golden report (biomedical_kg_metrics.py:165-177 analogue)."""
+    report = {}
+    report.update(node_metrics(nodes))
+    report.update(edge_metrics(triples))
+    report.update(connectivity_metrics(triples))
+    report.update(
+        quality_metrics(nodes, triples)
+    )
+    by_conf = {
+        r["confidence"]: r["n"]
+        for r in triples.groupBy("confidence").agg(F.count("*").alias("n")).collect()
+    }
+    report["edges_by_confidence"] = by_conf
+    return report

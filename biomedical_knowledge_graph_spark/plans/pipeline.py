@@ -46,11 +46,52 @@ class KGResult:
     triples: DataFrame
 
 
-def alias_component_map(dim_current: DataFrame) -> DataFrame:
+def alias_component_map(
+    dim_current: DataFrame, mode: str = "auto", broadcast_threshold: int = 5_000_000
+) -> DataFrame:
     """⑤ entity resolution: ids sharing an alias merge (J5 as CC).
 
-    Returns (canonical_id, resolved_id). Linking through the per-alias
-    minimum id keeps hub aliases linear (no k² pair blowup)."""
+    Returns (canonical_id, resolved_id). Two strategies:
+
+    - ``local`` (default for broadcast-sized dims): the alias dim is by
+      definition small enough to broadcast — union-find on the driver is
+      exact, one pass, and avoids ~log(n) distributed CC iterations whose
+      fixed job overhead dominates on dimension tables.
+    - ``distributed``: large-star/small-star CC over the shared-alias edge
+      list (the per-alias-minimum anchoring keeps hub aliases linear, no k²
+      pair blowup) — for linkage graphs that do NOT fit on the driver
+      (fact-scale entity resolution; see also components.resolve_entities).
+    """
+    if mode == "auto":
+        mode = "local"  # the dim side of a broadcast join fits the driver
+    if mode == "local":
+        rows = dim_current.select("alias", "canonical_id").collect()
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        by_alias: dict[str, str] = {}
+        for r in rows:
+            if len(parent) > broadcast_threshold:
+                raise ValueError("alias dim too large for local CC; use distributed")
+            cid = r["canonical_id"]
+            first = by_alias.setdefault(r["alias"], cid)
+            if first != cid:
+                ra, rb = find(first), find(cid)
+                if ra != rb:
+                    lo, hi = min(ra, rb), max(ra, rb)
+                    parent[hi] = lo
+        ids = sorted({r["canonical_id"] for r in rows})
+        data = [(cid, find(cid)) for cid in ids]
+        return dim_current.sparkSession.createDataFrame(
+            data, "canonical_id string, resolved_id string"
+        )
+
     anchor = dim_current.groupBy("alias").agg(
         F.min("canonical_id").alias("dst")
     )

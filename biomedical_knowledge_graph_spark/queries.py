@@ -294,20 +294,23 @@ def top_parts_by_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "suppliers_without_lineitems",
+    "customers_without_pending",
     """
-    SELECT s.s_suppkey, s.s_name
-    FROM supplier s
-    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'P')
     """,
     "SO1/J9 — anti-join set difference (missing-entity derivation)",
 )
-def suppliers_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = load(spark, sf_dir, "supplier")
-    li = load(spark, sf_dir, "lineitem")
-    return s.join(
-        li.select(F.col("l_suppkey").alias("s_suppkey")), "s_suppkey", "left_anti"
-    ).select("s_suppkey", "s_name")
+def customers_without_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    pending = o.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.join(pending, "c_custkey", "left_anti").select("c_custkey", "c_name")
 
 
 @register(
@@ -402,5 +405,620 @@ def customer_order_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("o_orderkey").alias("n_orders"),
             F.countDistinct("l_partkey").alias("n_parts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline family: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+from biomedical_knowledge_graph_spark.operators import dedup as _dedup  # noqa: E402
+from biomedical_knowledge_graph_spark.operators import multimodal as _mm  # noqa: E402
+from biomedical_knowledge_graph_spark.operators import similarity as _sim  # noqa: E402
+from biomedical_knowledge_graph_spark.operators import textstats as _ts  # noqa: E402
+
+# DuckDB fragment: distinct char-5-gram shingle rows per document
+_SH_CTE = """
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(text) - 4, 0) + 1),
+        i -> substr(text, i, 5)))) AS shingle
+      FROM documents
+    ),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT id_a, id_b,
+             round(inter * 1.0 / (x.sz + y.sz - inter), 6) AS jaccard
+      FROM inter
+      JOIN sz x ON x.doc_id = id_a
+      JOIN sz y ON y.doc_id = id_b
+    )
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keep_id,
+           count(*) AS n_docs
+    FROM documents GROUP BY md5(text)
+    """,
+    "exact dedup — hash-groupBy on content digest",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return _dedup.exact_duplicate_groups(docs).select(
+        "content_hash", "keep_id", "n_docs"
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SH_CTE}
+    SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8
+    """,
+    "n-gram Jaccard near-dup — inverted shingle index join",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return _dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SH_CTE}
+    SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8
+    """,
+    "MinHash+LSH near-dup (banded signatures -> exact verify); oracle is "
+    "brute force — with 32 bands x 4 rows, miss probability at J=0.8 is ~5e-8",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return _dedup.minhash_dedup_pairs(docs, threshold=0.8)
+
+
+def _simhash_bit_sql(j: int) -> str:
+    """DuckDB: bit j (0=MSB) of the 64-bit md5-prefix of a token `t`."""
+    return (
+        f"(((strpos('0123456789abcdef', substr(md5(t), {j // 4 + 1}, 1)) - 1)"
+        f" >> {3 - (j % 4)}) & 1)"
+    )
+
+
+def _simhash_oracle() -> str:
+    bit_cols = ",\n        ".join(
+        f"CASE WHEN sum(2 * {_simhash_bit_sql(j)} - 1) > 0 THEN 1 ELSE 0 END"
+        f" AS b{j}"
+        for j in range(64)
+    )
+    ham = " + ".join(f"abs(a.b{j} - b.b{j})" for j in range(64))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                        x -> len(x) > 0)) AS t
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id,
+        {bit_cols}
+      FROM toks GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST({ham} AS BIGINT) AS hamming
+    FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+    WHERE {ham} <= 6
+    """
+
+
+@register(
+    "dedup_simhash",
+    _simhash_oracle(),
+    "SimHash near-dup — 64-bit fingerprint, pigeonhole band join + "
+    "bit_count(xor) exact hamming",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return _dedup.simhash_near_pairs(docs, max_hamming=6)
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x)))
+               AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, 65),
+                     i -> q.embedding[i]::DOUBLE * c.embedding[i]))
+                   / (q.nrm * c.nrm), 6) AS score
+      FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    "ANN baseline — exact brute-force cosine top-k with broadcast queries",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return _sim.cosine_topk(emb, queries_df, k=5).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    None,  # approximate by construction — rows-only check
+    "ANN scale path — sign-LSH bucketed top-k (recall < 1 by design)",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return _sim.lsh_topk(emb, queries_df, dim=64, k=5, n_planes=8).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+@register(
+    "embedding_near_pairs",
+    """
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x)))
+               AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(range(1, 65),
+                   i -> a.embedding[i]::DOUBLE * b.embedding[i]))
+                 / (a.nrm * b.nrm), 6) AS score
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE round(list_sum(list_transform(range(1, 65),
+                  i -> a.embedding[i]::DOUBLE * b.embedding[i]))
+                / (a.nrm * b.nrm), 6) >= 0.4
+    """,
+    "embedding-cosine near-dup — all pairs >= threshold",
+)
+def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return _sim.cosine_near_pairs(emb, threshold=0.4)
+
+
+@register(
+    "doc_token_counts",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+                AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(
+                  list_filter(string_split(text, ' '), x -> len(x) > 0),
+                  x -> CAST(ceil(len(x) / 4.0) AS BIGINT))) AS BIGINT)
+             AS n_bpe_ish
+    FROM documents
+    """,
+    "token counting — whitespace + BPE-ish subword estimator",
+)
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        _ts.token_count("text").alias("n_tokens"),
+        _ts.bpe_ish_token_count("text").alias("n_bpe_ish"),
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in _ts.LANG_MARKERS[lang])
+    return (
+        f"CAST(len(list_filter(list_filter(string_split(text, ' '),"
+        f" x -> len(x) > 0), x -> x IN ({markers}))) AS BIGINT)"
+    )
+
+
+@register(
+    "doc_lang_id",
+    f"""
+    WITH hits AS (
+      SELECT doc_id, lang AS actual_lang,
+             {_lang_hits_sql("de")} AS h_de,
+             {_lang_hits_sql("en")} AS h_en,
+             {_lang_hits_sql("es")} AS h_es,
+             {_lang_hits_sql("fr")} AS h_fr
+      FROM documents
+    )
+    SELECT doc_id, actual_lang,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM hits
+    """,
+    "language-ID — marker-token argmax heuristic (when-chain, F4/F5 shape)",
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        _ts.predict_lang("text").alias("pred_lang"),
+    )
+
+
+@register(
+    "doc_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, len(text) AS n_chars,
+             list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, n_chars,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             round(len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1), 6)
+               AS distinct_ratio,
+             round(CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT)
+                   * 1.0 / greatest(len(toks), 1), 6) AS mean_tok_len,
+             round(len(list_filter(toks,
+                     x -> x IN ('the', 'a', 'and', 'of', 'is'))) * 1.0
+                   / greatest(len(toks), 1), 6) AS stop_ratio
+      FROM t
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, n_tokens,
+           distinct_ratio, mean_tok_len, stop_ratio,
+           round(least(n_tokens / 64.0, 1.0) * 0.4 + distinct_ratio * 0.4
+                 + least(stop_ratio * 5, 1.0) * 0.2, 6) AS quality_score
+    FROM feat
+    """,
+    "quality scoring — length/diversity/stopword ratios, one projection",
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return _ts.quality_features(docs)
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           array_to_string(list_slice(list_sort(list_distinct(
+             list_transform(range(1, greatest(len(text) - 7, 0) + 1),
+                            i -> md5(substr(text, i, 8))))), 1, 4), '|')
+             AS fingerprint
+    FROM documents
+    WHERE len(text) >= 8
+    """,
+    "document fingerprinting — winnowing-style k-min md5 over char 8-grams",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    return _ts.fingerprint(docs).select(
+        "doc_id", F.concat_ws("|", "fingerprint").alias("fingerprint")
+    )
+
+
+@register(
+    "multimodal_metadata",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_hash,
+           CASE WHEN text IS NULL OR len(text) = 0 THEN 'empty'
+                WHEN text LIKE '<%' THEN 'markup'
+                ELSE 'unknown' END AS format
+    FROM documents
+    """,
+    "multimodal plumbing — opaque binary column -> typed metadata via "
+    "Arrow-batched mapInPandas (decode step stubbed; plumbing real)",
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return _mm.binary_metadata(payloads, id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function / reshaping / merge coverage (SURVEY §2.6-2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_name_normalized",
+    """
+    SELECT p_partkey,
+           trim(regexp_replace(upper(p_name), '[^A-Z0-9]+', '_', 'g'), '_')
+             AS norm_id,
+           regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS brand_num
+    FROM part
+    """,
+    "F2/F3 — regex normalize name->ID + regex extract (Cluster pattern shape)",
+)
+def part_name_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    norm = F.regexp_replace(F.upper(F.col("p_name")), "[^A-Z0-9]+", "_")
+    return p.select(
+        "p_partkey",
+        F.regexp_replace(norm, "^_+|_+$", "").alias("norm_id"),
+        F.regexp_extract(F.col("p_brand"), r"Brand#(\d+)", 1).alias("brand_num"),
+    )
+
+
+@register(
+    "event_type_classified",
+    """
+    SELECT CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
+                WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+                WHEN event_type = 'error' THEN 'fault'
+                ELSE 'other' END AS category,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+    "F5/F7 — token classification when-chain + rollup",
+)
+def event_type_classified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cat = (
+        F.when(F.col("event_type").isin("click", "view"), "engagement")
+        .when(F.col("event_type").isin("purchase", "signup"), "conversion")
+        .when(F.col("event_type") == "error", "fault")
+        .otherwise("other")
+    )
+    return (
+        ev.select(cat.alias("category"), "user_id")
+        .groupBy("category")
+        .agg(F.count("*").alias("n_events"), F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "event_regulation",
+    """
+    WITH avgs AS (
+      SELECT event_type, avg(value) AS avg_value FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type,
+           round(e.value - a.avg_value, 4) AS z,
+           CASE WHEN e.value - a.avg_value > 0
+                THEN 'upregulated' ELSE 'downregulated' END AS regulation
+    FROM events e JOIN avgs a ON e.event_type = a.event_type
+    """,
+    "J7/F6 — expression-enrichment join + sign bucketing "
+    "(omics_disease_integration.py:96-143,119 analogue)",
+)
+def event_regulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    avgs = ev.groupBy("event_type").agg(F.avg("value").alias("avg_value"))
+    z = F.col("value") - F.col("avg_value")
+    return (
+        ev.join(F.broadcast(avgs), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(z, 4).alias("z"),
+            F.when(z > 0, "upregulated")
+            .otherwise("downregulated")
+            .alias("regulation"),
+        )
+    )
+
+
+@register(
+    "lineitem_measures_unpivot",
+    """
+    WITH long_form AS (
+      SELECT l_returnflag, 'quantity' AS measure, l_quantity AS val
+        FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'discount_pct', l_discount * 100 FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'tax_pct', l_tax * 100 FROM lineitem
+    )
+    SELECT l_returnflag, measure,
+           CAST(sum(CAST(round(val * 100) AS BIGINT)) AS BIGINT)
+             AS sum_val_x100,
+           count(*) AS n
+    FROM long_form GROUP BY l_returnflag, measure
+    """,
+    "A7 — wide->long unpivot (stack) then aggregate (expression-matrix path)",
+)
+def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    long_form = li.selectExpr(
+        "l_returnflag",
+        "stack(3, 'quantity', l_quantity, "
+        "'discount_pct', l_discount * 100, "
+        "'tax_pct', l_tax * 100) AS (measure, val)",
+    )
+    return long_form.groupBy("l_returnflag", "measure").agg(
+        F.sum(F.round(F.col("val") * 100).cast("long")).alias("sum_val_x100"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "segment_brand_overlap",
+    """
+    WITH seg_parts AS (
+      SELECT DISTINCT c.c_mktsegment AS segment, l.l_partkey AS partkey
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    brand_parts AS (SELECT DISTINCT p_brand AS brand, p_partkey FROM part),
+    seg_sizes AS (SELECT segment, count(*) AS seg_size FROM seg_parts GROUP BY 1),
+    brand_sizes AS (SELECT brand, count(*) AS brand_size FROM brand_parts GROUP BY 1),
+    ovl AS (
+      SELECT s.segment, b.brand, count(*) AS overlap_count
+      FROM seg_parts s JOIN brand_parts b ON s.partkey = b.p_partkey
+      GROUP BY 1, 2
+    )
+    SELECT o.segment, o.brand, o.overlap_count,
+           round(o.overlap_count * 1.0 / bs.brand_size, 6) AS brand_coverage,
+           round(o.overlap_count * 1.0 / ss.seg_size, 6) AS segment_coverage
+    FROM ovl o
+    JOIN brand_sizes bs ON bs.brand = o.brand
+    JOIN seg_sizes ss ON ss.segment = o.segment
+    WHERE o.overlap_count * 1.0 / bs.brand_size >= 0.3
+    """,
+    "J10 — overlap/enrichment join with coverage threshold "
+    "(talisman_integration_engine.py:415-453 analogue)",
+)
+def segment_brand_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    seg_parts = (
+        c.join(o, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("c_mktsegment").alias("segment"), F.col("l_partkey").alias("partkey"))
+        .distinct()
+    )
+    brand_parts = p.select(
+        F.col("p_brand").alias("brand"), "p_partkey"
+    ).distinct()
+    seg_sizes = seg_parts.groupBy("segment").agg(F.count("*").alias("seg_size"))
+    brand_sizes = brand_parts.groupBy("brand").agg(F.count("*").alias("brand_size"))
+    overlaps = (
+        seg_parts.join(brand_parts, seg_parts["partkey"] == brand_parts["p_partkey"])
+        .groupBy("segment", "brand")
+        .agg(F.count("*").alias("overlap_count"))
+    )
+    return (
+        overlaps.join(F.broadcast(brand_sizes), "brand")
+        .join(F.broadcast(seg_sizes), "segment")
+        .withColumn(
+            "brand_coverage",
+            F.round(F.col("overlap_count") / F.col("brand_size"), 6),
+        )
+        .withColumn(
+            "segment_coverage",
+            F.round(F.col("overlap_count") / F.col("seg_size"), 6),
+        )
+        .filter(F.col("overlap_count") / F.col("brand_size") >= 0.3)
+        .select(
+            "segment", "brand", "overlap_count", "brand_coverage", "segment_coverage"
+        )
+    )
+
+
+@register(
+    "order_size_histogram",
+    """
+    WITH sizes AS (
+      SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY 1
+    )
+    SELECT CASE WHEN n_items <= 2 THEN '1-2'
+                WHEN n_items <= 4 THEN '3-4'
+                WHEN n_items <= 6 THEN '5-6'
+                ELSE '7+' END AS bucket,
+           count(*) AS n_orders,
+           CAST(min(n_items) AS BIGINT) AS min_items,
+           CAST(max(n_items) AS BIGINT) AS max_items
+    FROM sizes GROUP BY 1
+    """,
+    "A9 — min/max distribution histogram buckets "
+    "(talisman_gene_validator.py:242-280 analogue)",
+)
+def order_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(F.count("*").alias("n_items"))
+    bucket = (
+        F.when(F.col("n_items") <= 2, "1-2")
+        .when(F.col("n_items") <= 4, "3-4")
+        .when(F.col("n_items") <= 6, "5-6")
+        .otherwise("7+")
+    )
+    return sizes.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_orders"),
+        F.min("n_items").cast("long").alias("min_items"),
+        F.max("n_items").cast("long").alias("max_items"),
+    )
+
+
+@register(
+    "customer_upsert_merge",
+    """
+    WITH updates AS (
+      SELECT o_custkey AS c_custkey, count(*) AS n_orders,
+             max(o_orderdate) AS last_order
+      FROM orders GROUP BY 1
+    )
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+           coalesce(u.n_orders, 0) AS n_orders,
+           u.last_order
+    FROM customer c LEFT JOIN updates u ON u.c_custkey = c.c_custkey
+    """,
+    "J3/J4 — upsert-merge semantics (full-outer coalesce per column; here "
+    "existing ⊇ updates so the outer side is left)",
+)
+def customer_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_knowledge_graph_spark.operators.canonicalize import merge_upsert
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    o = load(spark, sf_dir, "orders")
+    updates = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count("*").alias("n_orders"), F.max("o_orderdate").alias("last_order")
+    )
+    merged = merge_upsert(c, updates, key="c_custkey")
+    return merged.select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        "last_order",
+    )
+
+
+@register(
+    "region_rollup",
+    """
+    SELECT r.r_name AS region,
+           count(DISTINCT n.n_nationkey) AS n_nations,
+           count(DISTINCT c.c_custkey) AS n_customers,
+           count(DISTINCT s.s_suppkey) AS n_suppliers
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    GROUP BY r.r_name
+    """,
+    "A5/A6 — hierarchy rollup with counts and flags "
+    "(omics_nest_integration.py:60-108 analogue)",
+)
+def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        r.join(n, n["n_regionkey"] == r["r_regionkey"])
+        .join(c, c["c_nationkey"] == n["n_nationkey"], "left")
+        .join(s, s["s_nationkey"] == n["n_nationkey"], "left")
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.countDistinct("n_nationkey").alias("n_nations"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
         )
     )

@@ -1,0 +1,305 @@
+"""Schema'd file readers re-expressing the reference's ingest surface
+(SURVEY.md §2.1 S1-S12) as Spark sources.
+
+Every reader declares an explicit schema (no inferSchema in the data path —
+SURVEY.md §1.3: "explicit StructType for every input/output table").
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# S2/S3 — two/three-column TSV lookup dims (goID_2_name.tab family)
+# ---------------------------------------------------------------------------
+
+
+def read_lookup_tsv(
+    spark: SparkSession,
+    path: str,
+    columns: list[str],
+    header: bool = True,
+    namespace_filter: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Reference: kg_scripts/go_kg_builder.py:237-304 (2-col TSV loaders,
+    header-skipped, namespace-filtered at load). The filter lands in the
+    scan via predicate pushdown."""
+    schema = T.StructType([T.StructField(c, T.StringType(), True) for c in columns])
+    df = spark.read.csv(path, sep="\t", header=header, schema=schema)
+    if namespace_filter is not None:
+        col, value = namespace_filter
+        df = df.filter(F.col(col) == value)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# S4 — GAF 2.2: gzipped, '!' comments, 17 positional columns
+# ---------------------------------------------------------------------------
+
+GAF_COLUMNS = [
+    "db",
+    "db_object_id",
+    "db_object_symbol",
+    "qualifier",
+    "go_id",
+    "db_reference",
+    "evidence_code",
+    "with_or_from",
+    "aspect",
+    "db_object_name",
+    "db_object_synonym",
+    "db_object_type",
+    "taxon",
+    "date",
+    "assigned_by",
+    "annotation_extension",
+    "gene_product_form_id",
+]
+
+
+def read_gaf(spark: SparkSession, path: str) -> DataFrame:
+    """Reference: kg_scripts/go_kg_builder.py:1128-1186 (manual gzip +
+    split); Spark handles gzip natively and `comment='!'` replaces the
+    manual comment skip. Optional trailing columns arrive as nulls."""
+    schema = T.StructType(
+        [T.StructField(c, T.StringType(), True) for c in GAF_COLUMNS]
+    )
+    return spark.read.csv(path, sep="\t", comment="!", header=False, schema=schema)
+
+
+def gaf_annotations(gaf: DataFrame, aspect: str, qualifier: str) -> DataFrame:
+    """P2 aspect/qualifier predicate + P5 projection
+    (go_kg_builder.py:1150-1182)."""
+    return gaf.filter(
+        (F.col("aspect") == aspect) | (F.col("qualifier") == qualifier)
+    ).select(
+        "db_object_id",
+        "db_object_symbol",
+        "qualifier",
+        "go_id",
+        "evidence_code",
+        "aspect",
+        F.split(F.coalesce(F.col("db_object_synonym"), F.lit("")), r"\|").alias(
+            "synonyms"
+        ),
+        "taxon",
+    )
+
+
+# ---------------------------------------------------------------------------
+# S5/S9 — tagged-union 3-col edge files (collapsed_go.*, NeST)
+# ---------------------------------------------------------------------------
+
+
+def read_tagged_union(
+    spark: SparkSession, path: str, header: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """One scan, two filtered views: ('default' hierarchy rows, 'gene'
+    membership rows). Reference: kg_scripts/go_kg_builder.py:1478-1510;
+    Catalyst collapses the two filters onto a single cached scan."""
+    schema = T.StructType(
+        [
+            T.StructField("src", T.StringType(), True),
+            T.StructField("dst", T.StringType(), True),
+            T.StructField("edge_type", T.StringType(), True),
+        ]
+    )
+    df = spark.read.csv(path, sep="\t", header=header, schema=schema)
+    hierarchy = df.filter(F.col("edge_type") == "default").drop("edge_type")
+    membership = df.filter(F.col("edge_type") == "gene").drop("edge_type")
+    return hierarchy, membership
+
+
+# ---------------------------------------------------------------------------
+# S6/S7 — expression matrix (wide) → long form
+# ---------------------------------------------------------------------------
+
+
+def read_expression_matrix_long(
+    spark: SparkSession, path: str, key_col: str
+) -> DataFrame:
+    """Wide (entity × condition) CSV → long (entity, condition, value),
+    dropping null/zero cells (P4, omics_disease_integration.py:115-125).
+    The unpivot is a single `stack` projection — no Python, no shuffle."""
+    head = spark.read.csv(path, sep="\t", header=True)
+    conditions = [c for c in head.columns if c != key_col]
+    stack_args = ", ".join(f"'{c}', `{c}`" for c in conditions)
+    long_df = head.selectExpr(
+        f"`{key_col}` as entity",
+        f"stack({len(conditions)}, {stack_args}) AS (condition, value_str)",
+    )
+    return long_df.select(
+        "entity",
+        "condition",
+        F.col("value_str").cast("double").alias("value"),
+    ).filter(F.col("value").isNotNull() & (F.col("value") != 0.0))
+
+
+# ---------------------------------------------------------------------------
+# S1 — stanza-structured documents (OBO [Term] blocks)
+# ---------------------------------------------------------------------------
+
+OBO_TERM_SCHEMA = (
+    "term_id string, name string, namespace string, definition string, "
+    "is_obsolete boolean, replaced_by string, alt_ids array<string>, "
+    "synonyms array<string>, is_a array<string>"
+)
+
+
+def _parse_stanza(stanza: str) -> dict | None:
+    term: dict = {
+        "term_id": None,
+        "name": None,
+        "namespace": None,
+        "definition": None,
+        "is_obsolete": False,
+        "replaced_by": None,
+        "alt_ids": [],
+        "synonyms": [],
+        "is_a": [],
+    }
+    for line in stanza.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if line.startswith("["):
+            break  # next stanza header ([Typedef] etc.) — stop here
+        key, _, val = line.partition(":")
+        val = val.strip()
+        if key == "id":
+            term["term_id"] = val
+        elif key == "name":
+            term["name"] = val
+        elif key == "namespace":
+            term["namespace"] = val
+        elif key == "def":
+            # quoted definition: def: "text" [refs]
+            if val.startswith('"'):
+                end = val.find('"', 1)
+                term["definition"] = val[1:end] if end > 0 else val
+        elif key == "is_obsolete":
+            term["is_obsolete"] = val == "true"
+        elif key == "replaced_by":
+            term["replaced_by"] = val
+        elif key == "alt_id":
+            term["alt_ids"].append(val)
+        elif key == "synonym":
+            if val.startswith('"'):
+                end = val.find('"', 1)
+                if end > 0:
+                    term["synonyms"].append(val[1:end])
+        elif key == "is_a":
+            term["is_a"].append(val.split("!")[0].strip())
+    return term if term["term_id"] else None
+
+
+def read_obo_terms(
+    spark: SparkSession, path: str, namespace: str | None = None
+) -> DataFrame:
+    """OBO [Term] stanzas → typed rows. Reference parser:
+    kg_scripts/go_kg_builder.py:358-511 (line state machine, driver-side).
+
+    Spark shape: `spark.read.text(wholetext=True)` per file (ontology files
+    are dimension-sized — one task per file is the right granularity; the
+    1000× scale axis is pages, not ontologies), stanza split + parse inside
+    an Arrow-batched mapInPandas. The namespace early-skip (P1,
+    go_kg_builder.py:406-411) is applied inside the parser before row
+    materialization."""
+    raw = spark.read.text(path, wholetext=True)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content in pdf["value"].values:
+                for stanza in content.split("[Term]")[1:]:
+                    term = _parse_stanza(stanza)
+                    if term is None:
+                        continue
+                    if namespace and term["namespace"] != namespace:
+                        continue  # early skip — foreign namespace
+                    rows.append(term)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "term_id",
+                    "name",
+                    "namespace",
+                    "definition",
+                    "is_obsolete",
+                    "replaced_by",
+                    "alt_ids",
+                    "synonyms",
+                    "is_a",
+                ],
+            )
+
+    return raw.mapInPandas(parse, schema=OBO_TERM_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# S11/S12 — geneset documents (JSON / YAML-subset)
+# ---------------------------------------------------------------------------
+
+GENESET_SCHEMA = (
+    "geneset_id string, name string, format string, source_file string, "
+    "gene_symbols array<string>"
+)
+
+
+def read_geneset_json(spark: SparkSession, path: str) -> DataFrame:
+    """MSigDB-style JSON: {\"SET_NAME\": {\"geneSymbols\": [...]}, ...}.
+    Reference: kg_scripts/talisman_geneset_parser.py:194-264. Multi-geneset
+    files → one row per geneset (small-document ingest: wholetext +
+    mapInPandas, same pattern as OBO)."""
+    raw = spark.read.text(path, wholetext=True).withColumn(
+        "source_file", F.input_file_name()
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content, src in zip(pdf["value"].values, pdf["source_file"].values):
+                try:
+                    data = json.loads(content)
+                except json.JSONDecodeError:
+                    continue
+                for name, body in data.items():
+                    symbols = body.get("geneSymbols") or body.get("gene_symbols") or []
+                    rows.append(
+                        {
+                            "geneset_id": name.upper(),
+                            "name": name,
+                            "format": "json",
+                            "source_file": src,
+                            "gene_symbols": [s for s in symbols if s],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["geneset_id", "name", "format", "source_file", "gene_symbols"],
+            )
+
+    return raw.mapInPandas(parse, schema=GENESET_SCHEMA)
+
+
+def dedupe_genesets_by_priority(genesets: DataFrame) -> DataFrame:
+    """W2: JSON overrides YAML for the same geneset_id
+    (talisman_geneset_parser.py:85-137) — window dedup, priority then
+    deterministic tie-break."""
+    from pyspark.sql import Window
+
+    priority = F.when(F.col("format") == "json", 2).otherwise(1)
+    w = Window.partitionBy("geneset_id").orderBy(
+        F.desc(priority), F.asc("source_file")
+    )
+    return (
+        genesets.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,88 @@
+"""Streaming operators over an events/pages stream.
+
+Batch transforms in this engine are stream-safe by construction (projection,
+filter, pandas UDF, broadcast join all work under readStream). This module
+packages the stateful pieces: watermarked windowed aggregation and
+incremental triple counting via foreachBatch MERGE into the snapshot sink —
+the streaming equivalent of the batch resume contract (exactly-once by key,
+not by offset).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from biomedical_knowledge_graph_spark.sinks.table_format import SnapshotTable
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window counts — the canonical late-data
+    aggregation. Works on both stream and batch frames (batch ignores the
+    watermark), which is how the tests pin semantics against a batch oracle.
+    """
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("win"), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Sessionization: a new session starts after a gap > ``gap_minutes``.
+    Batch form: lag + cumulative sum over a per-user window (streaming form
+    would be session_window/applyInPandasWithState)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    new_session = (gap.isNull() | (gap > gap_minutes * 60)).cast("long")
+    return df.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+
+
+def stream_merge_to_table(
+    stream: DataFrame, table: SnapshotTable, checkpoint_dir: str
+):
+    """writeStream → foreachBatch MERGE into the snapshot table: idempotent
+    per key across restarts (the anti-join dedup makes replayed micro-batches
+    exact no-ops). Returns the StreamingQuery."""
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        table.merge_append(batch_df, run_id=f"epoch-{epoch_id}")
+
+    return (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(merge_batch)
+        .start()
+    )

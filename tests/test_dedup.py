@@ -1,0 +1,105 @@
+"""Dedup ladder: exact, n-gram Jaccard, MinHash+LSH, SimHash."""
+
+from __future__ import annotations
+
+import itertools
+
+from biomedical_knowledge_graph_spark.operators import dedup
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox jumped over the lazy dog"),  # near dup
+    (4, "completely different content about spark engines"),
+    (5, "spark engines and completely different content about"),  # shuffle of 4
+    (6, "zzz"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _py_shingles(text: str, n: int = 5) -> set[str]:
+    return {text[i : i + n] for i in range(max(len(text) - n + 1, 0))}
+
+
+def _py_jaccard(a: str, b: str, n: int = 5) -> float:
+    sa, sb = _py_shingles(a, n), _py_shingles(b, n)
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+def test_exact_duplicate_groups(spark):
+    groups = {
+        r.keep_id: (r.n_docs, list(r.doc_ids))
+        for r in dedup.exact_duplicate_groups(_docs(spark)).collect()
+    }
+    assert groups[1] == (2, [1, 2])
+    assert sum(n for n, _ in groups.values()) == len(DOCS)
+
+
+def test_ngram_jaccard_matches_bruteforce(spark):
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            _docs(spark), threshold=0.5
+        ).collect()
+    }
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(DOCS, 2):
+        j = round(_py_jaccard(ta, tb), 6)
+        if j >= 0.5:
+            want[(ia, ib)] = j
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_minhash_equals_exact_at_high_threshold(spark):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(_docs(spark), threshold=0.8).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_dedup_pairs(_docs(spark), threshold=0.8).collect()
+    }
+    assert lsh == exact
+    assert (1, 2) in lsh  # the exact dup pair survives
+
+
+def test_minhash_signature_properties(spark):
+    sigs = {
+        r.doc_id: list(r.signature)
+        for r in dedup.minhash_signatures(_docs(spark)).collect()
+    }
+    assert sigs[1] == sigs[2]  # identical docs → identical signatures
+    sim_34 = sum(a == b for a, b in zip(sigs[4], sigs[5])) / 128
+    # docs 4/5 share most shingles → signature agreement ≈ true Jaccard
+    true_j = _py_jaccard(DOCS[3][1], DOCS[4][1])
+    assert abs(sim_34 - true_j) < 0.2
+
+
+def test_simhash_near_pairs_exact_recall(spark):
+    # brute-force hamming from the packed fingerprints
+    sig = {
+        r.doc_id: r.simhash for r in dedup.simhash64(_docs(spark)).collect()
+    }
+    want = set()
+    for a, b in itertools.combinations(sorted(sig), 2):
+        ham = bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1")
+        if ham <= 10:
+            want.add((a, b, ham))
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_near_pairs(_docs(spark), max_hamming=10).collect()
+    }
+    assert got == want
+    assert any(p[:2] == (1, 2) and p[2] == 0 for p in got)
+
+
+def test_simhash_band_guard():
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup.simhash_near_pairs(None, max_hamming=8, bands=8)

@@ -1,0 +1,148 @@
+"""File-format readers (SURVEY §2.1 S-family)."""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+from biomedical_knowledge_graph_spark.sources import readers
+
+
+def test_lookup_tsv(spark, tmp_path):
+    p = tmp_path / "goID_2_namespace.tab"
+    p.write_text(
+        "id\tnamespace\nGO:0000001\tbiological_process\nGO:0000002\tcellular_component\n"
+    )
+    df = readers.read_lookup_tsv(
+        spark,
+        str(p),
+        ["id", "namespace"],
+        namespace_filter=("namespace", "biological_process"),
+    )
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["id"] == "GO:0000001"
+
+
+def test_gaf_reader_gzip_and_comments(spark, tmp_path):
+    lines = [
+        "!gaf-version: 2.2",
+        "!comment line",
+        "\t".join(
+            [
+                "UniProtKB", "P12345", "SYM1", "involved_in", "GO:0000001",
+                "REF:1", "IEA", "", "P", "name", "alt1|alt2", "protein",
+                "taxon:9606", "20240101", "UniProt", "", "",
+            ]
+        ),
+        "\t".join(
+            [
+                "UniProtKB", "P67890", "SYM2", "located_in", "GO:0000002",
+                "REF:2", "IDA", "", "C", "name2", "", "protein",
+                "taxon:9606", "20240101", "UniProt", "", "",
+            ]
+        ),
+    ]
+    p = tmp_path / "anno.gaf.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("\n".join(lines) + "\n")
+    gaf = readers.read_gaf(spark, str(p))
+    assert gaf.count() == 2  # comments skipped, gzip transparent
+    ann = readers.gaf_annotations(gaf, aspect="P", qualifier="involved_in")
+    rows = ann.collect()
+    assert len(rows) == 1
+    assert rows[0]["go_id"] == "GO:0000001"
+    assert rows[0]["synonyms"] == ["alt1", "alt2"]
+
+
+def test_tagged_union_single_scan(spark, tmp_path):
+    p = tmp_path / "collapsed.tsv"
+    p.write_text(
+        "GO:1\tGO:2\tdefault\nGO:1\tSYM1\tgene\nGO:2\tSYM2\tgene\n"
+    )
+    hier, mem = readers.read_tagged_union(spark, str(p))
+    assert hier.count() == 1 and mem.count() == 2
+    assert {r["dst"] for r in mem.collect()} == {"SYM1", "SYM2"}
+
+
+def test_expression_matrix_unpivot(spark, tmp_path):
+    p = tmp_path / "matrix.tsv"
+    p.write_text(
+        "gene\tcond_a\tcond_b\tcond_c\n"
+        "G1\t1.5\t0\t-2.0\n"
+        "G2\t\t3.25\t0\n"
+    )
+    long_df = readers.read_expression_matrix_long(spark, str(p), key_col="gene")
+    rows = {(r.entity, r.condition): r.value for r in long_df.collect()}
+    # zeros and nulls dropped (P4)
+    assert rows == {("G1", "cond_a"): 1.5, ("G1", "cond_c"): -2.0, ("G2", "cond_b"): 3.25}
+
+
+def test_obo_stanza_parser(spark, tmp_path):
+    obo = """format-version: 1.2
+
+[Term]
+id: GO:0000001
+name: mitochondrion inheritance
+namespace: biological_process
+def: "The distribution of mitochondria." [GOC:mcc]
+synonym: "mitochondrial inheritance" EXACT []
+alt_id: GO:0000100
+is_a: GO:0048308 ! organelle inheritance
+
+[Term]
+id: GO:0000002
+name: something cellular
+namespace: cellular_component
+is_obsolete: true
+replaced_by: GO:0000003
+
+[Typedef]
+id: part_of
+"""
+    p = tmp_path / "go.obo"
+    p.write_text(obo)
+    all_terms = {r.term_id: r for r in readers.read_obo_terms(spark, str(p)).collect()}
+    assert set(all_terms) == {"GO:0000001", "GO:0000002"}
+    t1 = all_terms["GO:0000001"]
+    assert t1.name == "mitochondrion inheritance"
+    assert t1.definition == "The distribution of mitochondria."
+    assert t1.synonyms == ["mitochondrial inheritance"]
+    assert t1.alt_ids == ["GO:0000100"]
+    assert t1.is_a == ["GO:0048308"]
+    t2 = all_terms["GO:0000002"]
+    assert t2.is_obsolete and t2.replaced_by == "GO:0000003"
+    # namespace early-skip (P1)
+    bp_only = readers.read_obo_terms(
+        spark, str(p), namespace="biological_process"
+    ).collect()
+    assert [r.term_id for r in bp_only] == ["GO:0000001"]
+
+
+def test_geneset_json_and_priority_dedup(spark, tmp_path):
+    (tmp_path / "a.json").write_text(
+        json.dumps(
+            {
+                "HALLMARK_ONE": {"geneSymbols": ["A", "B", ""]},
+                "CUSTOM_TWO": {"geneSymbols": ["C"]},
+            }
+        )
+    )
+    df = readers.read_geneset_json(spark, str(tmp_path / "a.json"))
+    rows = {r.geneset_id: r for r in df.collect()}
+    assert rows["HALLMARK_ONE"].gene_symbols == ["A", "B"]  # empty dropped
+    assert rows["CUSTOM_TWO"].format == "json"
+
+    # W2 priority dedup: json beats yaml for the same geneset_id
+    both = spark.createDataFrame(
+        [
+            ("GS1", "gs1", "yaml", "f1.yaml", ["A"]),
+            ("GS1", "gs1", "json", "f2.json", ["A", "B"]),
+            ("GS2", "gs2", "yaml", "f3.yaml", ["C"]),
+        ],
+        readers.GENESET_SCHEMA,
+    )
+    kept = {
+        r.geneset_id: r.format
+        for r in readers.dedupe_genesets_by_priority(both).collect()
+    }
+    assert kept == {"GS1": "json", "GS2": "yaml"}

@@ -1,0 +1,111 @@
+"""Streaming operators + golden-metrics module."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from biomedical_knowledge_graph_spark.plans import metrics
+from biomedical_knowledge_graph_spark.sinks.table_format import SnapshotTable
+from biomedical_knowledge_graph_spark.streaming import events as streaming
+
+
+def _events(spark, path):
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(minutes=m), 100 + (i % 3), etype, float(i))
+        for i, (m, etype) in enumerate(
+            [
+                (0, "click"), (1, "click"), (2, "view"), (6, "click"),
+                (7, "view"), (50, "click"), (51, "view"), (52, "click"),
+            ]
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    df.write.mode("overwrite").parquet(path)
+    return df
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    path = str(tmp_path / "ev")
+    batch_df = _events(spark, path)
+    batch = streaming.windowed_event_counts(batch_df).collect()
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(path)
+    agg = streaming.windowed_event_counts(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = spark.sql("SELECT * FROM win_out").collect()
+    finally:
+        q.stop()
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+    assert len(batch) > 0
+
+
+def test_sessionize(spark, tmp_path):
+    df = _events(spark, str(tmp_path / "ev2"))
+    sess = streaming.sessionize(df, gap_minutes=30)
+    per_user = (
+        sess.groupBy("user_id")
+        .agg(F.countDistinct("session_id").alias("n_sessions"))
+        .collect()
+    )
+    # 50-minute gap splits each user's events into 2 sessions
+    assert all(r.n_sessions == 2 for r in per_user)
+
+
+def test_stream_merge_exactly_once(spark, tmp_path):
+    path = str(tmp_path / "ev3")
+    df = _events(spark, path)
+    table = SnapshotTable(str(tmp_path / "sink"), key_cols=["event_id"])
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    q = streaming.stream_merge_to_table(
+        stream.select("event_id", "event_type", "value"),
+        table,
+        str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert table.count(spark) == df.count()
+    # replay the same data as a fresh batch → no dupes (key-based resume)
+    table.merge_append(df.select("event_id", "event_type", "value"))
+    assert table.count(spark) == df.count()
+    table.assert_unique_keys(spark)
+
+
+def test_golden_metrics(spark):
+    nodes = spark.createDataFrame(
+        [("E1", "gene"), ("E2", "gene"), ("E3", "term"), ("E4", "term")],
+        "entity_id string, entity_type string",
+    )
+    triples = spark.createDataFrame(
+        [
+            ("E1", "CO_OCCURS_WITH", "E2", 5, "low"),
+            ("E1", "CO_OCCURS_WITH", "E3", 60, "high"),
+            ("E2", "CO_OCCURS_WITH", "E5", 12, "medium"),  # dangling E5
+        ],
+        "subj string, pred string, obj string, weight long, confidence string",
+    )
+    report = metrics.collect_all_metrics(nodes, triples)
+    assert report["total_nodes"] == 4
+    assert report["nodes_by_type"] == {"gene": 2, "term": 2}
+    assert report["total_edges"] == 3
+    assert report["edges_by_type"] == {"CO_OCCURS_WITH": 3}
+    assert report["edges_by_confidence"] == {"low": 1, "high": 1, "medium": 1}
+    assert report["orphan_nodes"] == 1  # E4
+    assert report["dangling_endpoints"] == 1  # E5
+    assert report["max_degree"] == 2  # E1
+    import json
+
+    json.dumps(report)  # must be JSON-serializable as-is

@@ -1,0 +1,166 @@
+"""Text analysis + similarity search operators."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from biomedical_knowledge_graph_spark.operators import multimodal, similarity, textstats
+from pyspark.sql import functions as F
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a bb ccc dddd eeeee"), (2, ""), (3, "  double  spaces ")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: (r.n, r.bpe)
+        for r in df.select(
+            "doc_id",
+            textstats.token_count("text").alias("n"),
+            textstats.bpe_ish_token_count("text").alias("bpe"),
+        ).collect()
+    }
+    assert rows[1] == (5, 1 + 1 + 1 + 1 + 2)
+    assert rows[2] == (0, 0)
+    assert rows[3] == (2, 2 + 2)
+
+
+def test_lang_id_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on a mat"),        # en
+            (2, "der hund und die katze"),     # de
+            (3, "xyz qqq www"),                # no markers → und
+            (4, "the der"),                    # tie en/de → de (sorted first)
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.pred
+        for r in df.select(
+            "doc_id", textstats.predict_lang("text").alias("pred")
+        ).collect()
+    }
+    assert got == {1: "en", 2: "de", 3: "und", 4: "de"}
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame(
+        [(1, "the the the the"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textstats.quality_features(df).collect()}
+    assert rows[1].n_tokens == 4 and rows[1].distinct_ratio == 0.25
+    assert rows[2].distinct_ratio == 1.0 and rows[2].stop_ratio == 0.0
+    assert rows[1].stop_ratio == 1.0
+    assert 0.0 <= rows[1].quality_score <= 1.0
+
+
+def test_fingerprint_deterministic_and_discriminative(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefghijklmnop"), (2, "abcdefghijklmnop"), (3, "ponmlkjihgfedcba")],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: tuple(r.fingerprint) for r in textstats.fingerprint(df).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+    assert len(fp[1]) == 4
+
+
+def _np_cosine(a, b):
+    a, b = np.asarray(a, dtype=float), np.asarray(b, dtype=float)
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.RandomState(0)
+    vecs = [(i, rng.randn(16).astype(float).tolist()) for i in range(30)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.score)
+        for r in similarity.cosine_topk(
+            df, df.filter(F.col("vec_id") < 3), k=4
+        ).collect()
+    }
+    for qid in range(3):
+        scores = sorted(
+            (
+                (round(_np_cosine(vecs[qid][1], v), 6), -i)
+                for i, v in vecs
+                if i != qid
+            ),
+            reverse=True,
+        )
+        for rank in range(1, 5):
+            s, neg_i = scores[rank - 1]
+            assert got[(qid, rank)] == (-neg_i, s)
+
+
+def test_lsh_topk_recall(spark):
+    rng = np.random.RandomState(1)
+    base = rng.randn(8)
+    vecs = []
+    for i in range(40):
+        v = base + rng.randn(8) * 0.3  # one tight cluster → same bucket
+        vecs.append((i, (v / np.linalg.norm(v)).tolist()))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+    exact = {
+        r.neighbor_id
+        for r in similarity.cosine_topk(df, q, k=5).collect()
+    }
+    approx = {
+        r.neighbor_id
+        for r in similarity.lsh_topk(df, q, dim=8, k=5, n_planes=4).collect()
+    }
+    # tight cluster: the LSH bucket must recover most of the true top-5
+    assert len(exact & approx) >= 3
+
+
+def test_binary_metadata_plumbing(spark):
+    payloads = [
+        (1, b"\x89PNG\r\n123"),
+        (2, b"\xff\xd8\xffrest"),
+        (3, b"<html></html>"),
+        (4, None),
+        (5, b"plain bytes"),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    rows = {r.doc_id: r for r in multimodal.binary_metadata(df).collect()}
+    assert rows[1].format == "png" and rows[1].n_bytes == 9
+    assert rows[2].format == "jpeg"
+    assert rows[3].format == "markup"
+    assert rows[4].format == "empty" and rows[4].n_bytes == 0
+    assert rows[5].format == "unknown"
+    import hashlib
+
+    assert rows[5].content_hash == hashlib.md5(b"plain bytes").hexdigest()
+
+
+def test_binary_features_shape(spark):
+    df = spark.createDataFrame(
+        [(1, bytes(range(256)))], "doc_id long, payload binary"
+    )
+    row = multimodal.binary_metadata(df, with_features=True).collect()[0]
+    assert len(row.features) == 8
+    assert sum(row.features) == 256
+    assert row.features == [32] * 8
+
+
+def test_decode_image_is_stubbed():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+
+
+def test_lsh_bucket_deterministic(spark):
+    rng = np.random.RandomState(2)
+    df = spark.createDataFrame(
+        [(i, rng.randn(8).tolist()) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    a = {r.vec_id: r.lsh_bucket for r in similarity.lsh_bucket(df, 8).collect()}
+    b = {r.vec_id: r.lsh_bucket for r in similarity.lsh_bucket(df, 8).collect()}
+    assert a == b
