@@ -67,10 +67,13 @@ def main() -> None:
     from biomedical_knowledge_graph_spark import fixtures
     from biomedical_knowledge_graph_spark.plans.pipeline import build_kg
 
-    n_pages = int(os.environ.get("BKG_BENCH_PAGES", "4000"))
-    pages = fixtures.pages_df(spark, n_pages=n_pages, seed=42).cache()
+    n_pages = int(os.environ.get("BKG_BENCH_PAGES", "20000"))
+    aliases = [a for a, _, _ in fixtures.synthetic_alias_specs(5000, seed=42)]
+    pages = fixtures.generate_pages_distributed(
+        spark, n_pages, aliases, seed=42, partitions=int(cpus) * 4
+    ).cache()
     pages.count()
-    dim = fixtures.entity_dict_df(spark)
+    dim = fixtures.synthetic_entity_dict_df(spark, 5000, seed=42)
     t0 = time.time()
     result = build_kg(spark, pages, dim, min_cooccur=3)
     n_triples = result.triples.count()

@@ -291,3 +291,115 @@ def reference_triples(
         for (a, b), docs in pair_docs.items()
         if len(docs) >= min_count
     }
+
+
+# ---------------------------------------------------------------------------
+# bench-scale corpus: distributed generation (driver loops cannot produce
+# 10⁵-10⁶ pages; generation itself must be a Spark job, seeded per page id)
+# ---------------------------------------------------------------------------
+
+_BENCH_FILLER = [
+    f"{a}{b}{c}"
+    for a in ("re", "pro", "con", "de", "in", "ex", "sub", "trans")
+    for b in ("duc", "ten", "mis", "ver", "fac", "pos", "lat", "cur")
+    for c in ("tion", "sive", "ment", "able", "ing", "ate", "ory", "ial")
+]  # 512 deterministic filler words
+
+
+def synthetic_alias_specs(
+    n_entities: int = 5000, seed: int = 42
+) -> list[tuple[str, str, str]]:
+    """(alias, canonical_id, entity_type) — 1-3-word aliases over an entity
+    vocabulary disjoint from the filler; ~20% of entities get a second
+    alias (canonicalization path)."""
+    rng = random.Random(seed)
+    types = ["gene", "term", "drug", "disease"]
+    heads = [f"ent{i:04d}" for i in range(1500)]
+    mods = ["alpha", "beta", "gamma", "delta", "kappa", "sigma", "omega", "zeta"]
+    out: list[tuple[str, str, str]] = []
+    seen: set[str] = set()
+    i = 0
+    while len({c for _, c, _ in out}) < n_entities:
+        n_words = rng.choice([1, 2, 2, 3])
+        alias = " ".join(
+            rng.choice(mods if w % 2 else heads) for w in range(n_words)
+        )
+        if alias in seen:
+            continue
+        seen.add(alias)
+        cid = f"ENT:{i:07d}"
+        out.append((alias, cid, types[i % len(types)]))
+        if rng.random() < 0.2:
+            alt = f"{alias} variant{i % 7}"
+            if alt not in seen:
+                seen.add(alt)
+                out.append((alt, cid, types[i % len(types)]))
+        i += 1
+    return out
+
+
+def generate_pages_distributed(
+    spark: SparkSession,
+    n_pages: int,
+    aliases: list[str],
+    seed: int = 42,
+    lines_per_page: tuple[int, int] = (10, 30),
+    words_per_line: tuple[int, int] = (6, 14),
+    alias_prob: float = 0.12,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic pages as a Spark job: page i is a pure function of
+    (seed, i), so any partitioning/parallelism yields identical content.
+    Returns (url, warc_ts, html, lang)."""
+    import pandas as _pd
+
+    bc = spark.sparkContext.broadcast((sorted(aliases), _BENCH_FILLER))
+    n_hosts = max(4, n_pages // 50)
+
+    def gen(batches):
+        alias_list, filler = bc.value
+        for pdf in batches:
+            rows = []
+            for pid in pdf["id"].values:
+                rng = random.Random(f"{seed}:{int(pid)}")
+                host = f"host{rng.randrange(n_hosts):05d}.example"
+                lines = []
+                for _ in range(rng.randint(*lines_per_page)):
+                    words = []
+                    for _ in range(rng.randint(*words_per_line)):
+                        if rng.random() < alias_prob:
+                            words.append(rng.choice(alias_list))
+                        else:
+                            words.append(rng.choice(filler))
+                    lines.append(" ".join(words))
+                body = "".join(f"<p>{ln}</p>" for ln in lines)
+                html = f"<html><body>{body}</body></html>".encode()
+                rows.append(
+                    {
+                        "url": f"https://{host}/doc/{int(pid):09d}",
+                        "warc_ts": _EPOCH + dt.timedelta(seconds=int(pid) * 7),
+                        "html": html,
+                        "lang": "en",
+                    }
+                )
+            yield _pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "lang"]
+            )
+
+    base = spark.range(n_pages)
+    if partitions:
+        base = base.repartition(partitions)
+    return base.mapInPandas(
+        gen, schema="url string, warc_ts timestamp, html binary, lang string"
+    )
+
+
+def synthetic_entity_dict_df(
+    spark: SparkSession, n_entities: int = 5000, seed: int = 42
+) -> DataFrame:
+    """Bench-scale alias dim in the pipeline's expected schema."""
+    specs = synthetic_alias_specs(n_entities, seed)
+    rows = [
+        (alias, cid, etype, "default", False, None) for alias, cid, etype in specs
+    ]
+    return spark.createDataFrame(rows, schema=ENTITY_DICT_SCHEMA)

@@ -100,7 +100,7 @@ def _word_bounded(text: str, start: int, end: int) -> bool:
     return True
 
 
-_AUTOMATON_CACHE: dict[int, AhoCorasick] = {}
+_AUTOMATON_CACHE: dict[tuple, AhoCorasick] = {}
 
 
 def scan_mentions(
@@ -125,10 +125,12 @@ def scan_mentions(
     )
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        key = id(bc.value)
+        v = bc.value
+        # content-derived key: id() may be recycled across broadcasts
+        key = (len(v), v[0] if v else "", v[-1] if v else "", hash(tuple(v[::97])))
         ac = _AUTOMATON_CACHE.get(key)
         if ac is None:
-            ac = AhoCorasick(bc.value)
+            ac = AhoCorasick(v)
             _AUTOMATON_CACHE[key] = ac
         for pdf in batches:
             ids: list = []
@@ -152,3 +154,54 @@ def scan_mentions(
 
     pruned = docs.select(id_col, text_col)
     return pruned.mapInPandas(scan, schema=out_schema)
+
+
+def scan_mentions_token_join(
+    docs: DataFrame,
+    dim: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_words: int | None = None,
+    alias_col: str = "alias",
+) -> DataFrame:
+    """JVM-only mention detection: word n-grams (1..max_words) exploded and
+    broadcast-hash-joined against the alias dim. No Python anywhere — the
+    whole scan is whole-stage codegen + one broadcast join, which is the
+    preferred shape at corpus scale (the Aho-Corasick pandas UDF above is
+    the fallback for dictionaries whose entries aren't token-aligned).
+
+    Semantics vs scan_mentions: matching is per whitespace-token with
+    case-folding; equal to AC + word-boundary on single-space text. (AC
+    additionally refuses matches spanning line breaks; token n-grams join
+    across any whitespace — irrelevant for dictionaries that never span
+    lines.) Output: (id, surface, token_pos) — char offsets are not
+    materialized on this path.
+    """
+    if max_words is None:
+        max_words = (
+            dim.select(
+                F.max(F.size(F.split(F.col(alias_col), " "))).alias("m")
+            ).collect()[0]["m"]
+            or 1
+        )
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+    grams = []
+    for n in range(1, max_words + 1):
+        grams.append(
+            F.expr(
+                f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 0)),"
+                f" i -> struct(array_join(slice(_toks, i, {n}), ' ') as surface,"
+                f" i as token_pos))"
+            )
+        )
+    exploded = (
+        docs.select(id_col, toks.alias("_toks"))
+        .select(id_col, F.explode(F.concat(*grams)).alias("g"))
+        .select(id_col, F.col("g.surface"), F.col("g.token_pos"))
+    )
+    alias_dim = dim.select(F.lower(F.col(alias_col)).alias("surface")).distinct()
+    return exploded.join(F.broadcast(alias_dim), "surface").select(
+        id_col, "surface", "token_pos"
+    )

@@ -30,8 +30,10 @@ def salt_skewed(
     salted = fact.withColumn(
         salt_col, F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts)).cast("int")
     )
+    # NB: a generator (explode) cannot be nested inside another expression
+    # (e.g. .cast) — explode first, the sequence of int literals is already
+    # int-typed
     exploded = replicated.withColumn(
-        salt_col,
-        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).cast("int"),
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return salted, exploded

@@ -34,7 +34,10 @@ from biomedical_knowledge_graph_spark.operators.linking import (
     link_mentions,
     resolve_obsolete,
 )
-from biomedical_knowledge_graph_spark.operators.mentions import scan_mentions
+from biomedical_knowledge_graph_spark.operators.mentions import (
+    scan_mentions,
+    scan_mentions_token_join,
+)
 from biomedical_knowledge_graph_spark.sinks.table_format import SnapshotTable
 
 
@@ -117,14 +120,29 @@ def build_kg(
     min_cooccur: int = 3,
     triples_sink: SnapshotTable | None = None,
     run_id: str | None = None,
+    cache_links: bool = True,
+    mention_strategy: str = "token_join",
 ) -> KGResult:
+    """mention_strategy:
+    - ``token_join`` (default): JVM-only word-n-gram explode + broadcast
+      join (whole-stage codegen end to end; the 100 TB path for
+      token-aligned dictionaries);
+    - ``ac``: Aho-Corasick pandas UDF (Arrow batches; needed when aliases
+      aren't token-aligned or char offsets are required)."""
     # ① extract + prune html immediately (keep bytes out of every shuffle)
     docs = extract_pages(pages).filter(F.length("text") > 0)
 
     # ② mention scan — dictionary ships as one broadcast
     dim_current = resolve_obsolete(entity_dim)
-    aliases = [r["alias"] for r in dim_current.select("alias").distinct().collect()]
-    mentions = scan_mentions(docs, aliases, id_col="url", text_col="text")
+    if mention_strategy == "ac":
+        aliases = [
+            r["alias"] for r in dim_current.select("alias").distinct().collect()
+        ]
+        mentions = scan_mentions(docs, aliases, id_col="url", text_col="text")
+    else:
+        mentions = scan_mentions_token_join(
+            docs, dim_current, id_col="url", text_col="text"
+        )
 
     # ③ link via broadcast dim
     linked = link_mentions(mentions, dim_current, id_col="url").filter(
@@ -142,6 +160,10 @@ def build_kg(
         )
         .distinct()
     )
+    if cache_links:
+        # links feed three consumers (nodes, co-occurrence, metrics); without
+        # a persist each downstream action re-runs extraction + mention scan
+        links = links.persist()
 
     # node table: one row per resolved entity
     nodes = links.groupBy("entity_id").agg(

@@ -1022,3 +1022,55 @@ def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("s_suppkey").alias("n_suppliers"),
         )
     )
+
+
+@register(
+    "event_props_json",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           count(*) AS n
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+    "JSON scalar extraction (ingest-only in the reference, S12) + rollup",
+)
+def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "segment_priority_sets",
+    """
+    SELECT c_mktsegment,
+           array_to_string(list_sort(list_distinct(
+             list(o.o_orderpriority))), '|') AS priorities,
+           count(DISTINCT o.o_orderpriority) AS n_priorities
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+    "SO2/SO3/A4 — collect_set + array_distinct/sort union shape "
+    "(synonym-merge analogue, go_kg_builder.py:1397-1403)",
+)
+def segment_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.concat_ws(
+                "|", F.sort_array(F.collect_set("o_orderpriority"))
+            ).alias("priorities"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+    )

@@ -82,3 +82,53 @@ def test_scan_mentions_matches_naive(spark):
         for s, e, p in naive_find(text, vocab):
             want.add((i, s, e, p))
     assert got == want
+
+
+def test_token_join_matches_ac_on_single_line_text(spark):
+    """The JVM token-n-gram scanner and the AC scanner agree on (doc, surface)
+    sets for token-aligned dictionaries over single-line text."""
+    from biomedical_knowledge_graph_spark.operators.mentions import (
+        scan_mentions_token_join,
+    )
+
+    rng = random.Random(7)
+    vocab = ["alpha kinase", "beta", "gamma factor seven", "delta"]
+    filler = ["xx", "yyy", "alpha", "kinase", "factor", "seven"]
+    rows = []
+    for i in range(60):
+        words = [rng.choice(filler + vocab) for _ in range(rng.randint(3, 25))]
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    dim = spark.createDataFrame([(v,) for v in vocab], "alias string")
+
+    ac = {
+        (r.doc_id, r.surface)
+        for r in scan_mentions(docs, vocab).collect()
+    }
+    tj = {
+        (r.doc_id, r.surface)
+        for r in scan_mentions_token_join(docs, dim).collect()
+    }
+    assert tj == ac
+    assert ac  # non-trivial
+
+
+def test_pipeline_strategies_agree(spark):
+    from biomedical_knowledge_graph_spark import fixtures
+    from biomedical_knowledge_graph_spark.plans.pipeline import build_kg
+
+    pages = fixtures.pages_df(spark, n_pages=120, seed=3)
+    dim = fixtures.entity_dict_df(spark)
+    t_ac = {
+        tuple(r)
+        for r in build_kg(
+            spark, pages, dim, min_cooccur=2, mention_strategy="ac"
+        ).triples.collect()
+    }
+    t_tj = {
+        tuple(r)
+        for r in build_kg(
+            spark, pages, dim, min_cooccur=2, mention_strategy="token_join"
+        ).triples.collect()
+    }
+    assert t_ac == t_tj
