@@ -91,3 +91,28 @@ def collect_all_metrics(nodes: DataFrame, triples: DataFrame) -> dict:
     }
     report["edges_by_confidence"] = by_conf
     return report
+
+
+def format_report(report: dict) -> str:
+    """K3: human-readable final report
+    (go_kg_builder.py:2298-2358 analogue) — driver-side formatting of
+    collected aggregates."""
+    lines = ["=" * 52, "KNOWLEDGE GRAPH BUILD REPORT", "=" * 52]
+    lines.append(f"Total nodes:          {report.get('total_nodes', 0):>12,}")
+    for t, n in sorted(report.get("nodes_by_type", {}).items()):
+        lines.append(f"  {t:<20}{n:>12,}")
+    lines.append(f"Total edges:          {report.get('total_edges', 0):>12,}")
+    for t, n in sorted(report.get("edges_by_type", {}).items()):
+        lines.append(f"  {t:<20}{n:>12,}")
+    for t, n in sorted(report.get("edges_by_confidence", {}).items()):
+        lines.append(f"  confidence={t:<9}{n:>14,}")
+    lines.append(
+        f"Avg degree: {report.get('avg_degree', 0)}   "
+        f"Max degree: {report.get('max_degree', 0)}"
+    )
+    lines.append(
+        f"Orphan nodes: {report.get('orphan_nodes', 0)}   "
+        f"Dangling endpoints: {report.get('dangling_endpoints', 0)}"
+    )
+    lines.append("=" * 52)
+    return "\n".join(lines)

@@ -1074,3 +1074,41 @@ def segment_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_orderpriority").alias("n_priorities"),
         )
     )
+
+
+@register(
+    "unmatched_token_frequency",
+    f"""
+    WITH {_DICT_CTE},
+    toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                        x -> len(x) > 0)) AS tok
+      FROM documents
+    )
+    SELECT tok, count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM toks
+    WHERE tok NOT IN (SELECT alias FROM dict)
+    GROUP BY tok
+    ORDER BY n_occurrences DESC, tok
+    LIMIT 20
+    """,
+    "A10/J9/W3 — missing-entity frequency report "
+    "(talisman_gene_validator.py:294-329 analogue)",
+)
+def unmatched_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    dim = doc_entity_dim(spark)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    return (
+        toks.join(F.broadcast(dim), toks["tok"] == dim["alias"], "left_anti")
+        .groupBy("tok")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("tok"))
+        .limit(20)
+    )

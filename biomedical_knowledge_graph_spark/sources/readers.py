@@ -303,3 +303,48 @@ def dedupe_genesets_by_priority(genesets: DataFrame) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def read_geneset_yaml(spark: SparkSession, path: str) -> DataFrame:
+    """Talisman YAML genesets (kg_scripts/talisman_geneset_parser.py:142-192):
+    one geneset per file with gene_symbols / gene_ids variants. pyyaml is
+    gated behind an import-try (absent → clear error, not a crash at import
+    time of this module)."""
+    try:
+        import yaml
+    except ImportError as exc:  # pragma: no cover
+        raise RuntimeError("pyyaml not installed; use read_geneset_json") from exc
+
+    raw = spark.read.text(path, wholetext=True).withColumn(
+        "source_file", F.input_file_name()
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content, src in zip(pdf["value"].values, pdf["source_file"].values):
+                try:
+                    data = yaml.safe_load(content)
+                except yaml.YAMLError:
+                    continue
+                if not isinstance(data, dict):
+                    continue
+                symbols = (
+                    data.get("gene_symbols") or data.get("gene_ids") or []
+                )
+                name = str(data.get("name") or data.get("id") or src)
+                rows.append(
+                    {
+                        "geneset_id": name.upper().replace(" ", "_"),
+                        "name": name,
+                        "format": "yaml",
+                        "source_file": src,
+                        "gene_symbols": [str(s) for s in symbols if s],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["geneset_id", "name", "format", "source_file", "gene_symbols"],
+            )
+
+    return raw.mapInPandas(parse, schema=GENESET_SCHEMA)

@@ -146,3 +146,15 @@ def test_geneset_json_and_priority_dedup(spark, tmp_path):
         for r in readers.dedupe_genesets_by_priority(both).collect()
     }
     assert kept == {"GS1": "json", "GS2": "yaml"}
+
+
+def test_geneset_yaml(spark, tmp_path):
+    (tmp_path / "gs.yaml").write_text(
+        "name: my geneset\ngene_symbols:\n  - ABC\n  - DEF\n"
+    )
+    rows = {
+        r.geneset_id: r
+        for r in readers.read_geneset_yaml(spark, str(tmp_path / "gs.yaml")).collect()
+    }
+    assert rows["MY_GENESET"].gene_symbols == ["ABC", "DEF"]
+    assert rows["MY_GENESET"].format == "yaml"

@@ -109,3 +109,21 @@ def test_golden_metrics(spark):
     import json
 
     json.dumps(report)  # must be JSON-serializable as-is
+
+
+def test_format_report_human_readable():
+    report = {
+        "total_nodes": 4,
+        "nodes_by_type": {"gene": 2, "term": 2},
+        "total_edges": 3,
+        "edges_by_type": {"CO_OCCURS_WITH": 3},
+        "edges_by_confidence": {"high": 1, "low": 2},
+        "avg_degree": 1.5,
+        "max_degree": 2,
+        "orphan_nodes": 1,
+        "dangling_endpoints": 0,
+    }
+    text = metrics.format_report(report)
+    assert "KNOWLEDGE GRAPH BUILD REPORT" in text
+    assert "gene" in text and "CO_OCCURS_WITH" in text
+    assert "confidence=high" in text

@@ -46,37 +46,64 @@ def warm_python_workers(spark, threads: int) -> None:
     assert pd is not None
 
 
-def run_once(master: str, shuffle: int, pages_path: str, reps: int = 3) -> dict:
-    """One session, ``reps`` timed end-to-end pipeline runs, keep the MIN
-    wall (this host is shared — noisy-neighbor interference inflates
-    individual runs by up to an order of magnitude; the minimum estimates
-    unloaded steady-state throughput)."""
+def timed_run(master: str, shuffle: int, pages_path: str, warm_reps: int = 1) -> tuple[float, int, int, int]:
+    """Fresh session → warm workers + one untimed warm-up run (JIT/codegen)
+    → one timed end-to-end pipeline run."""
     threads = int(master.split("[")[1].rstrip("]"))
-    spark = new_session("bkg-scaling", master=master, shuffle_partitions=shuffle)
+    spark = new_session(
+        "bkg-scaling",
+        master=master,
+        shuffle_partitions=shuffle,
+        # default 64m advisory size lets AQE coalesce the pair shuffle to
+        # fewer partitions than threads, capping reduce parallelism
+        extra_conf={"spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m"},
+    )
     warm_python_workers(spark, threads)
     pages = spark.read.parquet(pages_path)
-    n_pages = pages.count()  # warm the scan / JVM before timing
+    n_pages = pages.count()
     dim = fixtures.synthetic_entity_dict_df(spark, 5000, seed=42)
-    walls = []
-    n_triples = n_links = 0
+    for _ in range(warm_reps):
+        # small warm-up corpus run: JIT/codegen/AQE caches, not the data
+        r = build_kg(spark, pages.limit(5000), dim, min_cooccur=3)
+        r.triples.count()
+        r.links.unpersist()
+    t0 = time.time()
+    result = build_kg(spark, pages, dim, min_cooccur=3)
+    n_triples = result.triples.count()
+    n_links = result.links.count()
+    wall = time.time() - t0
+    result.links.unpersist()
+    return wall, n_pages, n_links, n_triples
+
+
+def run_interleaved(
+    configs: list[tuple[str, int]], pages_path: str, reps: int = 3
+) -> dict[str, dict]:
+    """Alternate configs per rep (ABAB...) so host-load drift on this shared
+    box hits both equally; keep the MIN wall per config (noisy-neighbor
+    interference only ever inflates)."""
+    walls: dict[str, list[float]] = {m: [] for m, _ in configs}
+    stats: dict[str, tuple[int, int, int]] = {}
     for _ in range(reps):
-        t0 = time.time()
-        result = build_kg(spark, pages, dim, min_cooccur=3)
-        n_triples = result.triples.count()
-        n_links = result.links.count()
-        walls.append(time.time() - t0)
-        result.links.unpersist()
-    wall = min(walls)
-    return {
-        "master": master,
-        "pages": n_pages,
-        "links": n_links,
-        "triples": n_triples,
-        "wall_s": round(wall, 2),
-        "all_walls_s": [round(w, 2) for w in walls],
-        "pages_per_sec": round(n_pages / wall, 1),
-        "links_per_sec": round(n_links / wall, 1),
-    }
+        for master, shuffle in configs:
+            w, np_, nl, nt = timed_run(master, shuffle, pages_path)
+            walls[master].append(w)
+            stats[master] = (np_, nl, nt)
+    out = {}
+    for master, _ in configs:
+        np_, nl, nt = stats[master]
+        wall = min(walls[master])
+        out[master] = {
+            "master": master,
+            "pages": np_,
+            "links": nl,
+            "triples": nt,
+            "wall_s": round(wall, 2),
+            "all_walls_s": [round(w, 2) for w in walls[master]],
+            "pages_per_sec": round(np_ / wall, 1),
+            "links_per_sec": round(nl / wall, 1),
+        }
+    return out
 
 
 def main() -> None:
@@ -95,8 +122,12 @@ def main() -> None:
 
         # shuffle partitions ~6x threads: small per-task hash-agg state
         # (GC-friendly); AQE coalesces the small ones back
-        r_low = run_once(f"local[{low}]", low * 6, pages_path)
-        r_high = run_once(f"local[{high}]", high * 6, pages_path)
+        results = run_interleaved(
+            [(f"local[{low}]", low * 6), (f"local[{high}]", high * 6)],
+            pages_path,
+        )
+        r_low = results[f"local[{low}]"]
+        r_high = results[f"local[{high}]"]
 
         speedup = r_high["pages_per_sec"] / r_low["pages_per_sec"]
         efficiency = speedup / (high / low)
