@@ -259,26 +259,34 @@ def minhash_dedup_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _md5_bit(col: str, j: int):
-    """Bit j (0 = MSB) of the 64-bit prefix of md5(token), via hex digit."""
-    digit = F.conv(F.substring(F.md5(F.col(col).cast("binary")), j // 4 + 1, 1), 16, 10)
-    return F.shiftright(digit.cast("int"), 3 - (j % 4)).bitwiseAND(F.lit(1))
-
-
 def simhash_bits(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:
     """(id, b0..b{bits-1}) simhash bits over whitespace tokens: bit j is 1
     iff sum over tokens of (2·bit_j(md5(token)) - 1) > 0. Pure built-ins
-    (explode + 64 conditional sums in one hash aggregate)."""
+    (explode + 64 conditional sums in one hash aggregate).
+
+    The md5 and its 16 hex-digit decodes are hoisted into one projection
+    (``_digits`` array) so each token hashes once, not once per bit —
+    Catalyst does not CSE across aggregate expressions."""
     toks = df.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).filter(F.length("tok") > 0)
+    digits = F.expr(
+        "transform(sequence(1, 16), j -> "
+        "cast(conv(substring(md5(cast(tok as binary)), j, 1), 16, 10) as int))"
+    )
+    with_digits = toks.select(id_col, digits.alias("_digits"))
+
+    def bit(j: int):
+        digit = F.col("_digits").getItem(j // 4)
+        return F.shiftright(digit, 3 - (j % 4)).bitwiseAND(F.lit(1))
+
     aggs = [
-        (F.sum(_md5_bit("tok", j) * 2 - 1) > 0).cast("int").alias(f"b{j}")
+        (F.sum(bit(j) * 2 - 1) > 0).cast("int").alias(f"b{j}")
         for j in range(bits)
     ]
-    return toks.groupBy(id_col).agg(*aggs)
+    return with_digits.groupBy(id_col).agg(*aggs)
 
 
 def simhash64(
