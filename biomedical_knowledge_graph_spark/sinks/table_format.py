@@ -35,9 +35,23 @@ from pyspark.sql import functions as F
 
 
 class SnapshotTable:
-    def __init__(self, root: str, key_cols: list[str]):
+    def __init__(
+        self,
+        root: str,
+        key_cols: list[str],
+        partition_cols: list[str] | None = None,
+        bucket_expr: str | None = None,
+    ):
+        """``partition_cols``: hive-style partition columns for each data
+        part (Iceberg identity partitioning). ``bucket_expr``: a SQL
+        expression computed into a ``_bucket`` partition column (Iceberg
+        ``bucket(n, col)`` transform analogue, e.g.
+        ``"pmod(xxhash64(subj), 16)"``) so point lookups and co-located
+        joins prune files."""
         self.root = root
         self.key_cols = list(key_cols)
+        self.partition_cols = list(partition_cols or [])
+        self.bucket_expr = bucket_expr
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
@@ -95,8 +109,23 @@ class SnapshotTable:
         part_dir = os.path.join(
             self.root, "data", f"part-{snap:06d}-{uuid.uuid4().hex[:8]}"
         )
-        staged.write.mode("overwrite").parquet(part_dir)
-        added = spark.read.parquet(part_dir).count()
+        # count before write: an all-duplicates batch writes nothing (an
+        # empty partitioned dir would carry no schema and break readers)
+        staged = staged.persist()
+        added = staged.count()
+        if added:
+            writer = staged
+            part_cols = list(self.partition_cols)
+            if self.bucket_expr:
+                from pyspark.sql import functions as _F
+
+                writer = writer.withColumn("_bucket", _F.expr(self.bucket_expr))
+                part_cols.append("_bucket")
+            w = writer.write.mode("overwrite")
+            if part_cols:
+                w = w.partitionBy(*part_cols)
+            w.parquet(part_dir)
+        staged.unpersist()
 
         lineage = {
             "snapshot": snap,

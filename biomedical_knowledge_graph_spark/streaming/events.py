@@ -86,3 +86,30 @@ def stream_merge_to_table(
         .foreachBatch(merge_batch)
         .start()
     )
+
+
+def stateful_running_counts(
+    stream: DataFrame, key_col: str = "event_type"
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running totals maintained across micro-batches (the canonical shape for
+    incremental per-entity counters over a continuously-crawled corpus —
+    state lives in the state store, survives restarts via checkpoint).
+
+    Emits one (key, total) row per key per micro-batch (update mode)."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({key_col: [key[0]], "total": [total]})
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} string, total long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -43,3 +43,31 @@ def test_dedup_within_batch(spark, tmp_path):
     t = SnapshotTable(str(tmp_path / "d"), key_cols=["subj", "obj"])
     r = t.merge_append(_df(spark, [("a", "b", 1), ("a", "b", 2)]))
     assert r["rows_added"] == 1
+
+
+def test_partitioned_bucketed_sink(spark, tmp_path):
+    import os
+
+    t = SnapshotTable(
+        str(tmp_path / "p"),
+        key_cols=["subj", "obj"],
+        bucket_expr="pmod(xxhash64(subj), 4)",
+    )
+    rows = [(f"s{i}", f"o{i}", i) for i in range(40)]
+    t.merge_append(_df(spark, rows))
+    # hive-style bucket dirs exist
+    data_root = os.path.join(str(tmp_path / "p"), "data")
+    part = os.listdir(data_root)[0]
+    buckets = [
+        d for d in os.listdir(os.path.join(data_root, part))
+        if d.startswith("_bucket=")
+    ]
+    assert len(buckets) >= 2
+    # read-back is complete and idempotent merge still holds
+    assert t.count(spark) == 40
+    t.merge_append(_df(spark, rows))
+    assert t.count(spark) == 40
+    # partition pruning: a _bucket filter reaches PartitionFilters
+    df = t.read(spark).filter("_bucket = 1")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(_bucket" in plan

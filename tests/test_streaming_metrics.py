@@ -127,3 +127,48 @@ def test_format_report_human_readable():
     assert "KNOWLEDGE GRAPH BUILD REPORT" in text
     assert "gene" in text and "CO_OCCURS_WITH" in text
     assert "confidence=high" in text
+
+
+def test_stateful_running_counts_across_microbatches(spark, tmp_path):
+    """State accumulates across micro-batches: totals after batch 2 include
+    batch 1's rows."""
+    import pandas as pd  # noqa: F401
+
+    path = str(tmp_path / "stream_in")
+    ckpt = str(tmp_path / "ckpt2")
+    df1 = spark.createDataFrame(
+        [(1, "click"), (2, "click"), (3, "view")],
+        "event_id long, event_type string",
+    )
+    df1.coalesce(1).write.mode("append").parquet(path)
+
+    stream = spark.readStream.schema(df1.schema).parquet(path)
+    out = streaming.stateful_running_counts(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_counts")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            r.event_type: r.total
+            for r in spark.sql(
+                "SELECT * FROM running_counts"
+            ).collect()
+        }
+        assert first == {"click": 2, "view": 1}
+        # second micro-batch arrives
+        spark.createDataFrame(
+            [(4, "click"), (5, "error")], "event_id long, event_type string"
+        ).coalesce(1).write.mode("append").parquet(path)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM running_counts").collect()
+        latest: dict[str, int] = {}
+        for r in rows:  # memory sink appends updates; take the max per key
+            latest[r.event_type] = max(latest.get(r.event_type, 0), r.total)
+        assert latest == {"click": 3, "view": 1, "error": 1}
+    finally:
+        q.stop()
