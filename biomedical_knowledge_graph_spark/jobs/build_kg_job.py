@@ -40,11 +40,17 @@ def run(
 ) -> dict:
     pages = spark.read.parquet(pages_path)
     entity_dim = spark.read.parquet(dict_path)
+    # edge table bucketed by subject hash (Iceberg bucket(16, subj)
+    # analogue): point lookups and subj-keyed joins prune to one bucket
     triples_sink = SnapshotTable(
-        os.path.join(out_root, "triples"), key_cols=["subj", "pred", "obj"]
+        os.path.join(out_root, "triples"),
+        key_cols=["subj", "pred", "obj"],
+        bucket_expr="pmod(xxhash64(subj), 16)",
     )
     nodes_sink = SnapshotTable(
-        os.path.join(out_root, "nodes"), key_cols=["entity_id"]
+        os.path.join(out_root, "nodes"),
+        key_cols=["entity_id"],
+        bucket_expr="pmod(xxhash64(entity_id), 16)",
     )
     result = build_kg(
         spark,
