@@ -50,16 +50,6 @@ def cooccurrence_edges(
     """links(doc, entity, ...) → edges(subj, obj, shared_docs, confidence)
     with subj < obj (undirected canonical form)."""
     pairs_in = links.select(doc_col, ent_col).distinct()
-    if max_entities_per_doc is not None:
-        # deterministic cap: keep the lexicographically-first k entities
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(doc_col).orderBy(ent_col)
-        pairs_in = (
-            pairs_in.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= max_entities_per_doc)
-            .drop("_rn")
-        )
     # Pair generation: one groupBy(doc) shuffle collecting the (sorted,
     # distinct) per-doc entity set, pairs emitted JVM-side from the array,
     # then a map-side-combinable count. Because the input is distinct per
@@ -71,6 +61,13 @@ def cooccurrence_edges(
     doc_sets = pairs_in.groupBy(doc_col).agg(
         F.sort_array(F.collect_set(ent_col)).alias("_ents")
     )
+    if max_entities_per_doc is not None:
+        # giant-doc skew cap: a doc mentioning k entities emits k(k-1)/2
+        # pairs — bound it deterministically (lexicographically-first k,
+        # applied on the already-sorted per-doc array: no extra shuffle)
+        doc_sets = doc_sets.withColumn(
+            "_ents", F.slice("_ents", 1, max_entities_per_doc)
+        )
     pair_struct = F.expr(
         "flatten(transform(_ents, (x, i) -> "
         "transform(slice(_ents, i + 2, size(_ents)), y -> struct(x, y))))"

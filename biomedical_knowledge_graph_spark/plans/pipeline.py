@@ -122,6 +122,7 @@ def build_kg(
     run_id: str | None = None,
     cache_links: bool = True,
     mention_strategy: str = "token_join",
+    max_entities_per_doc: int | None = None,
 ) -> KGResult:
     """mention_strategy:
     - ``token_join`` (default): JVM-only word-n-gram explode + broadcast
@@ -173,7 +174,11 @@ def build_kg(
 
     # ⑥ co-occurrence triples
     co = cooccurrence_edges(
-        links, doc_col="doc_id", ent_col="entity_id", min_count=min_cooccur
+        links,
+        doc_col="doc_id",
+        ent_col="entity_id",
+        min_count=min_cooccur,
+        max_entities_per_doc=max_entities_per_doc,
     )
     triples = co.select(
         F.col("subj"),

@@ -48,3 +48,38 @@ def test_obsolete_aliases_remap(spark):
     assert "ENT:0000012" not in ids  # obsolete id never appears
     # shared-alias pair collapsed: ENT:0000010 resolved into ENT:0000009
     assert "ENT:0000010" not in ids
+
+
+def test_triples_invariant_under_partitioning(spark):
+    """The emitted triple set must be a pure function of the data — any
+    input partitioning / parallelism yields identical output (the property
+    that makes the N vs 4N runs comparable and resume safe)."""
+    from pyspark.sql import functions as F
+
+    pages_pdf = fixtures.pages_pdf(n_pages=150, seed=21)
+    dim = fixtures.entity_dict_df(spark)
+    base = spark.createDataFrame(pages_pdf, schema=fixtures.PAGES_SCHEMA)
+    out = []
+    for n_parts in (2, 16):
+        pages = base.repartition(n_parts, F.col("url"))
+        triples = build_kg(spark, pages, dim, min_cooccur=2).triples
+        out.append(sorted(tuple(r) for r in triples.collect()))
+    assert out[0] == out[1]
+    assert out[0], "empty triple set makes this test vacuous"
+
+
+def test_cooccurrence_fanout_cap(spark):
+    from biomedical_knowledge_graph_spark.operators.cooccurrence import (
+        cooccurrence_edges,
+    )
+
+    links = spark.createDataFrame(
+        [("d1", f"E{i:02d}") for i in range(10)] + [("d2", "E00"), ("d2", "E01")],
+        "doc_id string, canonical_id string",
+    )
+    full = cooccurrence_edges(links, min_count=1)
+    capped = cooccurrence_edges(links, min_count=1, max_entities_per_doc=3)
+    assert full.count() == 45 + 0  # d1 contributes C(10,2); d2's pair dupes E00-E01
+    # capped: d1 keeps E00,E01,E02 -> 3 pairs; d2 pair E00-E01 merges with d1's
+    got = {(r.subj, r.obj): r.shared_docs for r in capped.collect()}
+    assert got == {("E00", "E01"): 2, ("E00", "E02"): 1, ("E01", "E02"): 1}
