@@ -1112,3 +1112,70 @@ def unmatched_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("tok"))
         .limit(20)
     )
+
+
+@register(
+    "asof_last_purchase_before_error",
+    """
+    SELECT e.event_id, e.user_id, e.ts,
+           p.ts AS ts_right, p.value AS value_right
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    "as-of join — custom operator (applyInPandas merge_asof; one co-"
+    "partitioning shuffle); DuckDB ASOF JOIN is the oracle",
+)
+def asof_last_purchase_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_knowledge_graph_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        errors, purchases, key="user_id", ts="ts", right_value_cols=["value"]
+    )
+
+
+@register(
+    "lineitem_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "grouping sets / cube — multi-level rollup in one pass (engine "
+    "capability beyond the reference's flat groupBys)",
+)
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+    )
+
+
+@register(
+    "order_price_percentiles",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "exact percentiles (continuous interpolation) — sort-based aggregate",
+)
+def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
+        F.count("*").alias("n"),
+    )

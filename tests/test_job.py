@@ -65,3 +65,53 @@ def test_salt_skewed_join_equivalence(spark):
         .count()
     )
     assert spread >= 4
+
+
+def test_asof_join_matches_pandas_oracle(spark):
+    import numpy as np
+    import pandas as pd
+
+    from biomedical_knowledge_graph_spark.operators.asof import asof_join
+
+    rng = np.random.RandomState(4)
+    base = pd.Timestamp("2024-01-01")
+    left_rows = [
+        (
+            i,
+            int(rng.randint(3)),
+            (base + pd.Timedelta(seconds=int(rng.randint(1000)))).to_pydatetime(),
+        )
+        for i in range(60)
+    ]
+    right_rows = [
+        (
+            int(rng.randint(3)),
+            (base + pd.Timedelta(seconds=int(rng.randint(1000)))).to_pydatetime(),
+            float(i),
+        )
+        for i in range(40)
+    ]
+    left = spark.createDataFrame(left_rows, "id long, k int, ts timestamp")
+    right = spark.createDataFrame(right_rows, "k int, ts timestamp, v double")
+
+    got = {
+        r.id: (r.ts_right, r.v_right)
+        for r in asof_join(left, right, key="k", ts="ts", right_value_cols=["v"]).collect()
+    }
+    lp = pd.DataFrame(left_rows, columns=["id", "k", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(right_rows, columns=["k", "ts", "v"]).sort_values("ts")
+    want_df = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction="backward", suffixes=("", "_right")
+    )
+    assert len(got) == 60
+    for _, row in want_df.iterrows():
+        got_ts, got_v = got[row["id"]]
+        if pd.isna(row["v"]):
+            assert got_v is None
+        else:
+            assert got_v == row["v"]
+    # every matched ts_right is <= left ts
+    for r_id, (ts_r, _) in got.items():
+        if ts_r is not None:
+            left_ts = dict((i, t) for i, _, t in left_rows)[r_id]
+            assert ts_r <= left_ts

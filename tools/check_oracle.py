@@ -58,7 +58,13 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> str
                 )
             ]
         else:
-            bad = [i for i in range(len(av)) if av[i] != bv[i]]
+            bad = [
+                i
+                for i in range(len(av))
+                if not (
+                    (pd.isna(av[i]) and pd.isna(bv[i])) or av[i] == bv[i]
+                )
+            ]
         if bad:
             i = bad[0]
             return (
