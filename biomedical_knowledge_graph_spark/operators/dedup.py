@@ -147,12 +147,19 @@ def minhash_signatures(
     n: int = 5,
     num_hashes: int = 128,
     seed: int = 7,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, signature array<long>) — shingle → xxhash64 → k universal-hash
-    minima, computed vectorized in numpy over Arrow batches."""
-    sh = shingle_sets(df, id_col, text_col, n).withColumn(
-        "h", F.xxhash64("shingle")
-    )
+    minima, computed vectorized in numpy over Arrow batches.
+
+    ``shingles``: optionally reuse a precomputed (id, shingle) frame (the
+    LSH+verify pipeline shares one scan between signatures and exact
+    verification)."""
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_sets(df, id_col, text_col, n)
+    ).withColumn("h", F.xxhash64("shingle"))
     grouped = sh.groupBy(id_col).agg(F.collect_list("h").alias("hashes"))
     a_params, b_params = _hash_params(num_hashes, seed)
     id_type = df.schema[id_col].dataType.simpleString()
@@ -214,40 +221,66 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     n: int = 5,
     threshold: float = 0.8,
-    num_hashes: int = 128,
-    bands: int = 32,
-    rows_per_band: int = 4,
+    num_hashes: int = 125,
+    bands: int = 25,
+    rows_per_band: int = 5,
     seed: int = 7,
 ) -> DataFrame:
     """LSH candidates → exact-Jaccard verification ≥ threshold.
 
-    With 32 bands × 4 rows the detection probability at J=0.8 is
-    1-(1-0.8⁴)³² ≈ 1-5e-8, so the verified output equals brute force
-    (the DuckDB oracle) with near certainty while the shuffle stays linear."""
+    Band geometry trades candidate volume against recall: 25 bands × 5 rows
+    misses a J=0.8 pair with p = (1-0.8⁵)²⁵ ≈ 5e-5 while admitting a
+    background J=0.3 pair with p ≈ 0.06 (4 rows would admit 26% of the
+    background — ruinous on corpora where random pairs are moderately
+    similar). An exact-preserving size-ratio prefilter
+    (J ≥ t ⇒ min(sz)/max(sz) ≥ t) prunes candidates before the
+    array-intersect verification."""
+    # one shingle scan feeds both the signatures and the exact verify
+    sh = shingle_sets(df, id_col, text_col, n).persist()
     cands = minhash_lsh_candidates(
-        minhash_signatures(df, id_col, text_col, n, num_hashes, seed),
+        minhash_signatures(
+            df, id_col, text_col, n, num_hashes, seed, shingles=sh
+        ),
         id_col,
         bands,
         rows_per_band,
     )
-    sh = shingle_sets(df, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a_sh = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b_sh = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        cands.join(a_sh, "id_a")
-        .join(b_sh, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
+    # size-ratio prefilter first (tiny sizes table; J ≥ t forces
+    # min(sz)/max(sz) ≥ t), THEN join the shingle arrays and verify with
+    # array_intersect — candidates are few, so two joins against the
+    # 1-row-per-doc array table beat re-shuffling the full postings twice
+    doc_arrays = sh.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("_sh"), F.count("*").alias("sz")
     )
+    sizes = doc_arrays.select(id_col, "sz")
+    survivors = (
+        cands.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .filter(
+            F.least(F.col("sz_a"), F.col("sz_b"))
+            / F.greatest(F.col("sz_a"), F.col("sz_b"))
+            >= threshold
+        )
+    )
+    arr_a = doc_arrays.select(
+        F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a")
+    )
+    arr_b = doc_arrays.select(
+        F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b")
+    )
+    inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
     return (
-        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        survivors.join(arr_a, "id_a")
+        .join(arr_b, "id_b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
-            ),
+            F.round(inter / (F.col("sz_a") + F.col("sz_b") - inter), 6),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
