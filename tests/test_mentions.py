@@ -15,8 +15,8 @@ def naive_find(text: str, patterns: list[str]) -> set[tuple[int, int, str]]:
     out = set()
     low = text.lower()
     for p in patterns:
-        for m in re.finditer(re.escape(p), low):
-            s, e = m.start(), m.end()
+        for m in re.finditer(f"(?={re.escape(p)})", low):
+            s, e = m.start(), m.start() + len(p)
             before_ok = s == 0 or not (low[s - 1].isalnum() or low[s - 1] == "_")
             after_ok = e == len(low) or not (low[e].isalnum() or low[e] == "_")
             if before_ok and after_ok:
@@ -38,9 +38,9 @@ def test_automaton_matches_naive_random():
         ac = AhoCorasick(vocab)
         got = set(ac.find_all(text))
         want = {
-            (m.start(), m.end(), p)
+            (m.start(), m.start() + len(p), p)
             for p in set(vocab)
-            for m in re.finditer(re.escape(p), text)
+            for m in re.finditer(f"(?={re.escape(p)})", text)
         }
         assert got == want
 
