@@ -58,14 +58,20 @@ def shingle_sets(
     df: DataFrame, id_col: str, text_col: str, n: int = 5
 ) -> DataFrame:
     """(id, shingle) distinct char-n-gram rows, built with JVM-side array
-    functions (sequence → transform → explode), no Python."""
+    functions (sequence → transform → explode), no Python.
+
+    Texts shorter than ``n`` emit NO shingles (sequence(1, 0) in Spark is the
+    descending range [1, 0], which would otherwise yield a phantom shingle at
+    position 0; an explicit case-when guards it so the DuckDB oracle's
+    exclusive range(...) semantics match)."""
     return df.select(
         id_col,
         F.explode(
             F.array_distinct(
                 F.expr(
-                    f"transform(sequence(1, greatest(length({text_col}) - {n - 1},"
-                    f" 0)), i -> substring({text_col}, i, {n}))"
+                    f"case when length({text_col}) >= {n} then "
+                    f"transform(sequence(1, length({text_col}) - {n - 1}),"
+                    f" i -> substring({text_col}, i, {n})) else array() end"
                 )
             )
         ).alias("shingle"),
@@ -237,6 +243,30 @@ def minhash_dedup_pairs(
     array-intersect verification."""
     # one shingle scan feeds both the signatures and the exact verify
     sh = shingle_sets(df, id_col, text_col, n).persist()
+    try:
+        return _minhash_dedup_pairs_impl(
+            sh, id_col, threshold, num_hashes, bands, rows_per_band, seed, df,
+            text_col, n,
+        )
+    finally:
+        # the impl eagerly materializes (localCheckpoint) before returning,
+        # so the cached shingle scan is released here instead of leaking
+        # across repeated calls in one session (bench reps, oracle harness)
+        sh.unpersist()
+
+
+def _minhash_dedup_pairs_impl(
+    sh: DataFrame,
+    id_col: str,
+    threshold: float,
+    num_hashes: int,
+    bands: int,
+    rows_per_band: int,
+    seed: int,
+    df: DataFrame,
+    text_col: str,
+    n: int,
+) -> DataFrame:
     cands = minhash_lsh_candidates(
         minhash_signatures(
             df, id_col, text_col, n, num_hashes, seed, shingles=sh
@@ -246,13 +276,8 @@ def minhash_dedup_pairs(
         rows_per_band,
     )
     # size-ratio prefilter first (tiny sizes table; J ≥ t forces
-    # min(sz)/max(sz) ≥ t), THEN join the shingle arrays and verify with
-    # array_intersect — candidates are few, so two joins against the
-    # 1-row-per-doc array table beat re-shuffling the full postings twice
-    doc_arrays = sh.groupBy(id_col).agg(
-        F.collect_set("shingle").alias("_sh"), F.count("*").alias("sz")
-    )
-    sizes = doc_arrays.select(id_col, "sz")
+    # min(sz)/max(sz) ≥ t) before any per-shingle work
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     survivors = (
         cands.join(
             sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")),
@@ -268,23 +293,35 @@ def minhash_dedup_pairs(
             >= threshold
         )
     )
-    arr_a = doc_arrays.select(
-        F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a")
+    # postings-restricted exact verify: replicate each survivor pair across
+    # side-a's postings, keep the shingles side b also has, count. Row size
+    # stays one-shingle-per-row no matter how large a document is (a
+    # collect_set + array_intersect verify would build multi-MB array rows
+    # for giant docs); volume is Σ over survivor pairs of sz_a — bounded by
+    # the LSH + size-ratio gates, not by the corpus.
+    pair_postings = survivors.join(
+        sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a"
     )
-    arr_b = doc_arrays.select(
-        F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b")
+    shared = pair_postings.join(
+        sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"]
     )
-    inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
-    return (
-        survivors.join(arr_a, "id_a")
-        .join(arr_b, "id_b")
+    result = (
+        shared.groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("_inter"))
         .withColumn(
             "jaccard",
-            F.round(inter / (F.col("sz_a") + F.col("sz_b") - inter), 6),
+            F.round(
+                F.col("_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("_inter")),
+                6,
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # eager: materialize the (small) verified-pairs result and truncate
+    # lineage so the caller can unpersist the shared shingle scan
+    return result.localCheckpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------

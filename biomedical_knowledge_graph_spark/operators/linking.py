@@ -62,9 +62,18 @@ def link_mentions(
     discounted by alias ambiguity (aliases mapping to k entities score
     1/k — deterministic stand-in for the reference's preference rules,
     go_kg_builder.py:1285-1303).
+
+    Aliases are case-folded here so the join agrees with the scanners
+    (scan_mentions / scan_mentions_token_join both lower text and aliases
+    and emit lowercase surfaces): a dictionary entry 'BRCA1' links the
+    mention 'brca1'. Case-duplicate dictionary rows collapse to one
+    (max prior) so the join cannot fan mentions out.
     """
     if "prior" not in dim.columns:
         dim = dim.withColumn("prior", F.lit(1.0))
+    dim = dim.withColumn("alias", F.lower(F.col("alias")))
+    group_cols = [c for c in dim.columns if c != "prior"]
+    dim = dim.groupBy(*group_cols).agg(F.max("prior").alias("prior"))
     ambiguity = dim.groupBy("alias").agg(
         F.countDistinct("canonical_id").alias("alias_fanout")
     )

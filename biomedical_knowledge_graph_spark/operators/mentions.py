@@ -189,11 +189,15 @@ def scan_mentions_token_join(
     )
     grams = []
     for n in range(1, max_words + 1):
+        # guard: sequence(1, 0) is the DESCENDING range [1, 0] in Spark, so a
+        # doc with fewer than n tokens must short-circuit to array() or the
+        # transform slices at position 0 and throws under ANSI mode
         grams.append(
             F.expr(
-                f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 0)),"
+                f"case when size(_toks) >= {n} then "
+                f"transform(sequence(1, size(_toks) - {n - 1}),"
                 f" i -> struct(array_join(slice(_toks, i, {n}), ' ') as surface,"
-                f" i as token_pos))"
+                f" i as token_pos)) else array() end"
             )
         )
     exploded = (

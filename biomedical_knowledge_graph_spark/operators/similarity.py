@@ -128,6 +128,86 @@ def lsh_bucket(
     return df.withColumn("lsh_bucket", bucket)
 
 
+def lsh_near_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    n_tables: int = 12,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """LSH-gated embedding near-dup pairs: (id_a, id_b, score ≥ threshold).
+
+    The 100 TB replacement for cosine_near_pairs' all-pairs join: candidates
+    are generated only inside matching (table, bucket) cells across
+    ``n_tables`` independent sign-LSH tables (multi-table OR boosts recall),
+    then exact-cosine verified. Shuffle volume is O(vectors × tables), and
+    pair work is confined to bucket cells instead of the n² cross product.
+
+    Recall math: a pair at cosine t collides in one table with
+    p = (1 − acos(t)/π)^n_planes; missing all tables has probability
+    (1 − p)^n_tables. Defaults (6 planes × 12 tables) put the miss
+    probability at J-cos = 0.9 below 3e-3 and < 1e-5 for cosine ≥ 0.95 —
+    near-exact for near-dup detection thresholds.
+
+    All tables' buckets are computed in one projection and exploded, so the
+    corpus is scanned once; the verify re-joins the (id → vector) table on
+    the few surviving candidate ids only.
+    """
+    base = with_norm(
+        df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v")), "_v"
+    )
+    # one struct per table: (table, bucket) — planes drawn per-table from
+    # a derived seed so tables are independent
+    table_structs = []
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, n_planes, seed + 1009 * t)
+        bucket = F.lit(0).cast("long")
+        for i, plane in enumerate(planes):
+            arr = F.array(*[F.lit(float(x)) for x in plane])
+            bit = (_dot(F.col("_v"), arr) > 0).cast("long")
+            bucket = bucket + F.shiftleft(bit, i)
+        table_structs.append(
+            F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket"))
+        )
+    bucketed = base.select(
+        "_vid", F.explode(F.array(*table_structs)).alias("tb")
+    ).select("_vid", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._vid") < F.col("b._vid")),
+        )
+        .select(F.col("a._vid").alias("id_a"), F.col("b._vid").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(
+        F.col("_vid").alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na")
+    )
+    vb = base.select(
+        F.col("_vid").alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb")
+    )
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "score",
+            F.round(
+                _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+                round_to,
+            ),
+        )
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

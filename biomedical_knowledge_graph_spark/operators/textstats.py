@@ -112,9 +112,14 @@ def fingerprint(
     """Winnowing-style document fingerprint: the ``keep`` smallest md5
     digests over char-``gram``-grams (rolling-hash analogue; md5 keeps the
     DuckDB oracle bit-identical). Output: (id, fingerprint array<string>)."""
+    # case-when guard: texts shorter than ``gram`` emit no grams (Spark's
+    # sequence(1, 0) is the descending [1, 0], which would emit a phantom
+    # gram at position 0 — same quirk as dedup.shingle_sets)
     grams = F.expr(
-        f"transform(sequence(1, greatest(length({text_col}) - {gram - 1}, 0)),"
+        f"case when length({text_col}) >= {gram} then "
+        f"transform(sequence(1, length({text_col}) - {gram - 1}),"
         f" i -> md5(cast(substring({text_col}, i, {gram}) as binary)))"
+        f" else array() end"
     )
     return df.select(
         id_col,

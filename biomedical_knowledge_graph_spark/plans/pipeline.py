@@ -66,8 +66,14 @@ def alias_component_map(
       (fact-scale entity resolution; see also components.resolve_entities).
     """
     if mode == "auto":
-        mode = "local"  # the dim side of a broadcast join fits the driver
+        # size probe BEFORE any collect: limit(k+1).count() touches at most
+        # k+1 rows; a 100M-row alias dim routes to the distributed path
+        # instead of OOMing the driver
+        probe = dim_current.limit(broadcast_threshold + 1).count()
+        mode = "local" if probe <= broadcast_threshold else "distributed"
     if mode == "local":
+        if dim_current.limit(broadcast_threshold + 1).count() > broadcast_threshold:
+            raise ValueError("alias dim too large for local CC; use distributed")
         rows = dim_current.select("alias", "canonical_id").collect()
         parent: dict[str, str] = {}
 
@@ -80,8 +86,6 @@ def alias_component_map(
 
         by_alias: dict[str, str] = {}
         for r in rows:
-            if len(parent) > broadcast_threshold:
-                raise ValueError("alias dim too large for local CC; use distributed")
             cid = r["canonical_id"]
             first = by_alias.setdefault(r["alias"], cid)
             if first != cid:

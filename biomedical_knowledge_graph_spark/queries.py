@@ -479,7 +479,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8
     """,
     "MinHash+LSH near-dup (banded signatures -> exact verify); oracle is "
-    "brute force — with 32 bands x 4 rows, miss probability at J=0.8 is ~5e-8",
+    "brute force — with 25 bands x 5 rows, miss probability at J=0.8 is ~5e-5",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -598,6 +598,58 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return _sim.cosine_near_pairs(emb, threshold=0.4)
+
+
+def _perturbed_corpus(emb: DataFrame) -> DataFrame:
+    """Deterministic near-dup corpus: every vector plus a perturbed copy
+    (v'_i = v_i + 0.25·v_{i+1 mod d}, cosine(v, v') ≈ 0.97) at vec_id +
+    100000 — gives the LSH gate real near-dup pairs to find; the same
+    construction is expressed in the DuckDB oracle."""
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64), i -> cast(element_at(embedding, i)"
+            " + 0.25 * element_at(embedding, (i % 64) + 1) as float))"
+        ).alias("embedding"),
+    )
+    return emb.select("vec_id", "embedding").unionByName(pert)
+
+
+@register(
+    "embedding_near_pairs_lsh",
+    """
+    WITH base AS (SELECT vec_id, embedding FROM embeddings),
+    pert AS (
+      SELECT vec_id + 100000 AS vec_id,
+             list_transform(range(1, 65),
+               i -> CAST(embedding[i] + 0.25::DOUBLE * embedding[(i % 64) + 1]
+                         AS FLOAT)) AS embedding
+      FROM base
+    ),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+    n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x)))
+               AS nrm
+      FROM corpus
+    )
+    SELECT id_a, id_b, score FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_sum(list_transform(range(1, 65),
+                     i -> a.embedding[i]::DOUBLE * b.embedding[i]))
+                   / (a.nrm * b.nrm), 6) AS score
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+    ) WHERE score >= 0.9
+    """,
+    "embedding near-dup, the 100 TB path — multi-table sign-LSH candidate "
+    "gate + exact within-bucket verify; oracle is brute force (6 planes x "
+    "16 tables: miss prob < 1e-5 at cosine 0.95)",
+)
+def embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return _sim.lsh_near_pairs(
+        _perturbed_corpus(emb), dim=64, threshold=0.9, n_planes=6, n_tables=16
+    )
 
 
 @register(

@@ -134,10 +134,13 @@ def read_expression_matrix_long(
         f"`{key_col}` as entity",
         f"stack({len(conditions)}, {stack_args}) AS (condition, value_str)",
     )
+    # try_cast, not cast: Spark 4 runs ANSI mode by default, so a plain cast
+    # of a malformed cell ('NA', blank) would throw CAST_INVALID_INPUT and
+    # kill the job; the reference's P4 semantics are drop-null/zero instead
     return long_df.select(
         "entity",
         "condition",
-        F.col("value_str").cast("double").alias("value"),
+        F.expr("try_cast(value_str AS double)").alias("value"),
     ).filter(F.col("value").isNotNull() & (F.col("value") != 0.0))
 
 
@@ -147,22 +150,84 @@ def read_expression_matrix_long(
 
 OBO_TERM_SCHEMA = (
     "term_id string, name string, namespace string, definition string, "
+    "def_refs array<string>, comment string, "
     "is_obsolete boolean, replaced_by string, alt_ids array<string>, "
-    "synonyms array<string>, is_a array<string>"
+    "synonyms array<string>, "
+    "synonym_details array<struct<text:string,scope:string,refs:array<string>>>, "
+    "is_a array<string>, "
+    "relationships array<struct<rel_type:string,target:string,target_name:string>>, "
+    "xrefs array<string>, subsets array<string>, consider array<string>, "
+    "created_by string, creation_date string"
 )
+
+_OBO_COLUMNS = [
+    "term_id",
+    "name",
+    "namespace",
+    "definition",
+    "def_refs",
+    "comment",
+    "is_obsolete",
+    "replaced_by",
+    "alt_ids",
+    "synonyms",
+    "synonym_details",
+    "is_a",
+    "relationships",
+    "xrefs",
+    "subsets",
+    "consider",
+    "created_by",
+    "creation_date",
+]
+
+_SYNONYM_SCOPES = ("EXACT", "BROAD", "NARROW", "RELATED")
+
+
+def _bracket_refs(s: str) -> list[str]:
+    """'... [ref1, ref2]' → ['ref1', 'ref2'] (reference:
+    go_kg_builder.py:421-425, 443-449 — rfind-based bracket extraction)."""
+    start, end = s.find("["), s.rfind("]")
+    if start < 0 or end <= start:
+        return []
+    return [r.strip() for r in s[start + 1 : end].split(",") if r.strip()]
 
 
 def _parse_stanza(stanza: str) -> dict | None:
+    """One [Term] stanza → dict matching OBO_TERM_SCHEMA.
+
+    Field semantics mirror kg_scripts/go_kg_builder.py:358-511:
+    - def:      quoted text + trailing [refs] → definition, def_refs;
+    - synonym:  quoted text + scope keyword (EXACT/BROAD/NARROW/RELATED,
+                default RELATED) + [refs] → synonym_details; plain texts are
+                additionally kept in ``synonyms`` for dictionary builders;
+    - is_a / relationship: both land in ``relationships`` as
+                (rel_type, target, target_name) — is_a as rel_type='IS_A',
+                ``relationship: part_of GO:x ! name`` as rel_type='PART_OF'
+                (go_kg_builder.py:472-495); ``is_a`` keeps the plain target
+                list for hierarchy-only consumers;
+    - xref / subset / consider / created_by / creation_date: verbatim
+                (go_kg_builder.py:456-469).
+    """
     term: dict = {
         "term_id": None,
         "name": None,
         "namespace": None,
         "definition": None,
+        "def_refs": [],
+        "comment": None,
         "is_obsolete": False,
         "replaced_by": None,
         "alt_ids": [],
         "synonyms": [],
+        "synonym_details": [],
         "is_a": [],
+        "relationships": [],
+        "xrefs": [],
+        "subsets": [],
+        "consider": [],
+        "created_by": None,
+        "creation_date": None,
     }
     for line in stanza.splitlines():
         line = line.strip()
@@ -181,21 +246,72 @@ def _parse_stanza(stanza: str) -> dict | None:
         elif key == "def":
             # quoted definition: def: "text" [refs]
             if val.startswith('"'):
-                end = val.find('"', 1)
-                term["definition"] = val[1:end] if end > 0 else val
+                end = val.rfind('"', 0, val.find("[")) if "[" in val else val.find('"', 1)
+                if end > 0:
+                    term["definition"] = val[1:end]
+                    term["def_refs"] = _bracket_refs(val[end:])
+                else:
+                    term["definition"] = val.strip('"')
+            else:
+                term["definition"] = val.strip('"')
+        elif key == "comment":
+            term["comment"] = val
         elif key == "is_obsolete":
             term["is_obsolete"] = val == "true"
         elif key == "replaced_by":
-            term["replaced_by"] = val
+            # reference accumulates a list; one replacement is the rule in
+            # GO — keep the first for the resolve_obsolete remap contract
+            if term["replaced_by"] is None:
+                term["replaced_by"] = val
         elif key == "alt_id":
             term["alt_ids"].append(val)
+        elif key == "xref":
+            term["xrefs"].append(val)
+        elif key == "subset":
+            term["subsets"].append(val)
+        elif key == "consider":
+            term["consider"].append(val)
+        elif key == "created_by":
+            term["created_by"] = val
+        elif key == "creation_date":
+            term["creation_date"] = val
         elif key == "synonym":
             if val.startswith('"'):
-                end = val.find('"', 1)
-                if end > 0:
-                    term["synonyms"].append(val[1:end])
+                parts = val.split('"')
+                if len(parts) >= 3:
+                    text = parts[1]
+                    remainder = parts[2].strip()
+                    scope = next(
+                        (s for s in _SYNONYM_SCOPES if s in remainder), "RELATED"
+                    )
+                    term["synonyms"].append(text)
+                    term["synonym_details"].append(
+                        {"text": text, "scope": scope, "refs": _bracket_refs(remainder)}
+                    )
         elif key == "is_a":
-            term["is_a"].append(val.split("!")[0].strip())
+            parts = val.split("!", 1)
+            target = parts[0].strip()
+            term["is_a"].append(target)
+            term["relationships"].append(
+                {
+                    "rel_type": "IS_A",
+                    "target": target,
+                    "target_name": parts[1].strip() if len(parts) > 1 else None,
+                }
+            )
+        elif key == "relationship":
+            # 'relationship: part_of GO:0007052 ! mitotic spindle organization'
+            words = val.split()
+            if len(words) >= 2:
+                term["relationships"].append(
+                    {
+                        "rel_type": words[0].upper(),
+                        "target": words[1],
+                        "target_name": val.split("!", 1)[1].strip()
+                        if "!" in val
+                        else None,
+                    }
+                )
     return term if term["term_id"] else None
 
 
@@ -224,20 +340,7 @@ def read_obo_terms(
                     if namespace and term["namespace"] != namespace:
                         continue  # early skip — foreign namespace
                     rows.append(term)
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "term_id",
-                    "name",
-                    "namespace",
-                    "definition",
-                    "is_obsolete",
-                    "replaced_by",
-                    "alt_ids",
-                    "synonyms",
-                    "is_a",
-                ],
-            )
+            yield pd.DataFrame(rows, columns=_OBO_COLUMNS)
 
     return raw.mapInPandas(parse, schema=OBO_TERM_SCHEMA)
 

@@ -118,6 +118,64 @@ id: part_of
     assert [r.term_id for r in bp_only] == ["GO:0000001"]
 
 
+def test_obo_typed_relationships_and_metadata(spark, tmp_path):
+    """S1 full parity: typed relationship edges, xref/subset/consider,
+    synonym scope+refs, def refs, created_by/creation_date
+    (reference: kg_scripts/go_kg_builder.py:412-495)."""
+    obo = """format-version: 1.2
+
+[Term]
+id: GO:0000022
+name: mitotic spindle elongation
+namespace: biological_process
+def: "The cell cycle process." [GOC:mtg_cell_cycle, PMID:19686080]
+comment: Note that this term should not be confused.
+synonym: "spindle elongation during mitosis" EXACT [GOC:mah, PMID:1]
+synonym: "mitotic elongation" RELATED []
+synonym: "broad spindle thing" BROAD [GOC:x]
+xref: Reactome:R-HSA-12345
+xref: Wikipedia:Spindle
+subset: goslim_yeast
+consider: GO:0000023
+created_by: jl
+creation_date: 2010-01-26T11:02:45Z
+is_a: GO:0051231 ! spindle elongation
+relationship: part_of GO:0000070 ! mitotic sister chromatid segregation
+relationship: regulates GO:0007052
+"""
+    p = tmp_path / "typed.obo"
+    p.write_text(obo)
+    t = readers.read_obo_terms(spark, str(p)).collect()[0]
+    assert t.definition == "The cell cycle process."
+    assert t.def_refs == ["GOC:mtg_cell_cycle", "PMID:19686080"]
+    assert t.comment == "Note that this term should not be confused."
+    assert t.xrefs == ["Reactome:R-HSA-12345", "Wikipedia:Spindle"]
+    assert t.subsets == ["goslim_yeast"]
+    assert t.consider == ["GO:0000023"]
+    assert t.created_by == "jl"
+    assert t.creation_date == "2010-01-26T11:02:45Z"
+    # synonyms: plain texts preserved for dictionary builders
+    assert t.synonyms == [
+        "spindle elongation during mitosis",
+        "mitotic elongation",
+        "broad spindle thing",
+    ]
+    details = [(d.text, d.scope, list(d.refs)) for d in t.synonym_details]
+    assert details == [
+        ("spindle elongation during mitosis", "EXACT", ["GOC:mah", "PMID:1"]),
+        ("mitotic elongation", "RELATED", []),
+        ("broad spindle thing", "BROAD", ["GOC:x"]),
+    ]
+    # relationships: is_a lands as IS_A alongside typed relationship: lines
+    rels = [(r.rel_type, r.target, r.target_name) for r in t.relationships]
+    assert rels == [
+        ("IS_A", "GO:0051231", "spindle elongation"),
+        ("PART_OF", "GO:0000070", "mitotic sister chromatid segregation"),
+        ("REGULATES", "GO:0007052", None),
+    ]
+    assert t.is_a == ["GO:0051231"]
+
+
 def test_geneset_json_and_priority_dedup(spark, tmp_path):
     (tmp_path / "a.json").write_text(
         json.dumps(
