@@ -68,11 +68,16 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
     force(REGISTRY["pricing_summary"].fn(spark, sf_dir))
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        force(REGISTRY[name].fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+    # min-of-N per query: the host is shared and identical jobs vary 5-10x
+    # run to run, so n=1 numbers are noise, not signal (reps interleaved so
+    # one transient host stall cannot inflate every rep of one query)
+    reps = int(os.environ.get("BKG_BENCH_REPS", "2"))
+    timings = {name: float("inf") for name in HEADLINE}
+    for _ in range(reps):
+        for name in HEADLINE:
+            t0 = time.time()
+            force(REGISTRY[name].fn(spark, sf_dir))
+            timings[name] = min(timings[name], round(time.time() - t0, 3))
 
     # KG-pipeline throughput: pages -> triples end-to-end on a generated
     # corpus (the north-rule metric)

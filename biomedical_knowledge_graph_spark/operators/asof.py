@@ -73,3 +73,121 @@ def asof_join(
         )
 
     return both.groupBy(key).applyInPandas(per_key, schema=out_schema)
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_value_cols: list[str],
+    suffix: str = "_right",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """As-of join that stays scale-safe under a giant key.
+
+    ``asof_join`` groups by key alone, so one hot key (one user producing
+    ~all events) lands in one applyInPandas group = one task = one executor
+    OOM; AQE cannot split a pandas group. Here each key is additionally
+    range-bucketed on time: global ts cut points (approxQuantile over both
+    sides, one pass) split every key into ≤ ``n_buckets`` groups, and the
+    per-(key, bucket) group size is bounded by the time distribution, not
+    the key distribution.
+
+    Boundary rule: a left row early in bucket b may need the latest right
+    row from an earlier bucket, so for every (key, earlier-bucket) the last
+    right row is replicated forward into each later bucket and deduped to
+    the latest per (key, target-bucket) before the merge — ≤ one carried
+    right row per (key, bucket), so replication adds at most
+    |keys|·n_buckets rows. Output and semantics are identical to
+    ``asof_join`` (backward, ties match).
+    """
+    lcols = list(left.columns)
+    out_fields = [
+        f"`{f.name}` {f.dataType.simpleString()}" for f in left.schema.fields
+    ]
+    rtypes = {f.name: f.dataType for f in right.schema.fields}
+    out_fields.append(f"`{ts}{suffix}` {rtypes[ts].simpleString()}")
+    for c in right_value_cols:
+        out_fields.append(f"`{c}{suffix}` {rtypes[c].simpleString()}")
+    out_schema = ", ".join(out_fields)
+
+    # global time cut points from both sides (timestamps → epoch micros;
+    # TIMESTAMP_NTZ needs an explicit cast before unix_micros)
+    micros = f"unix_micros(cast(`{ts}` AS timestamp))"
+    both_ts = left.select(F.expr(micros).alias("_t")).unionByName(
+        right.select(F.expr(micros).alias("_t"))
+    )
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = sorted(set(both_ts.approxQuantile("_t", probs, 0.001)))
+    if cuts:
+        arr = ", ".join(f"{int(c)}L" for c in cuts)
+        bucket_expr = F.expr(f"size(filter(array({arr}), b -> b <= {micros}))")
+    else:
+        bucket_expr = F.lit(0)
+
+    l2 = left.withColumn("_side", F.lit(0)).withColumn("_bkt", bucket_expr)
+    r_base = right.select(key, ts, *right_value_cols).withColumn(
+        "_bkt", bucket_expr
+    )
+    # forward replication: last right row per (key, bucket), carried into
+    # every later bucket, deduped to the latest per (key, target bucket)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key, "_bkt").orderBy(F.desc(ts))
+    last_per = (
+        r_base.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # guard: sequence(n, n-1) is the DESCENDING [n, n-1] in Spark — the last
+    # bucket must replicate to no one, not back onto itself
+    carried = (
+        last_per.withColumn(
+            "_tgt",
+            F.explode(
+                F.expr(
+                    f"case when _bkt < {n_buckets - 1} then "
+                    f"sequence(_bkt + 1, {n_buckets - 1}) else array() end"
+                )
+            ),
+        )
+        .drop("_bkt")
+        .withColumnRenamed("_tgt", "_bkt")
+    )
+    w2 = Window.partitionBy(key, "_bkt").orderBy(F.desc(ts))
+    carried = (
+        carried.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    r2 = r_base.unionByName(carried).withColumn("_side", F.lit(1))
+    for c in lcols:
+        if c not in r2.columns:
+            r2 = r2.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    for c in right_value_cols:
+        if c not in l2.columns:
+            l2 = l2.withColumn(c, F.lit(None).cast(rtypes[c]))
+    both = l2.unionByName(r2.select(*l2.columns))
+
+    renames = {ts: f"{ts}{suffix}", **{c: f"{c}{suffix}" for c in right_value_cols}}
+    out_cols = [*lcols, f"{ts}{suffix}", *[f"{c}{suffix}" for c in right_value_cols]]
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        lp = pdf[pdf["_side"] == 0].sort_values(ts, kind="mergesort")
+        if lp.empty:
+            return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
+        rp = (
+            pdf[pdf["_side"] == 1]
+            .sort_values(ts, kind="mergesort")[[ts, *right_value_cols]]
+            .rename(columns=renames)
+        )
+        return pd.merge_asof(
+            lp[lcols],
+            rp,
+            left_on=ts,
+            right_on=f"{ts}{suffix}",
+            direction="backward",
+        )
+
+    return both.groupBy(key, "_bkt").applyInPandas(per_group, schema=out_schema)

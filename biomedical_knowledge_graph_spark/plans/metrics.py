@@ -76,6 +76,46 @@ def quality_metrics(
     }
 
 
+def evidence_flag_matrix(
+    entities: DataFrame,
+    edge_tables: dict[str, DataFrame],
+    key: str,
+) -> DataFrame:
+    """J11 exact shape (biomedical_kg_metrics.py:142-153): per-entity
+    boolean evidence flag for each edge type plus their sum.
+
+    ``edge_tables``: edge-type name → DataFrame holding ``key`` (each is a
+    pre-filtered semi-join source, e.g. "ANNOTATED_WITH" edges keyed by
+    gene). Output: entities' columns + ``has_<name>`` int flag per type +
+    ``data_types`` = sum of flags.
+
+    Spark shape: rather than N semi-joins (N shuffles of the fact side),
+    every edge table is projected to distinct keys, tagged with its type,
+    unioned, and folded into one conditional aggregate — a single shuffle on
+    the entity key regardless of how many evidence types there are; the
+    resulting flag table is entity-dim-sized and broadcast-joins back.
+    """
+    tagged = None
+    for name, df in edge_tables.items():
+        t = df.select(F.col(key)).distinct().withColumn("_et", F.lit(name))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    flags = tagged.groupBy(key).agg(
+        *[
+            F.max(F.when(F.col("_et") == name, 1).otherwise(0)).alias(
+                f"has_{name}"
+            )
+            for name in edge_tables
+        ]
+    )
+    out = entities.join(flags, key, "left")
+    total = None
+    for name in edge_tables:
+        col = F.coalesce(F.col(f"has_{name}"), F.lit(0))
+        out = out.withColumn(f"has_{name}", col)
+        total = col if total is None else total + col
+    return out.withColumn("data_types", total)
+
+
 def collect_all_metrics(nodes: DataFrame, triples: DataFrame) -> dict:
     """The full golden report (biomedical_kg_metrics.py:165-177 analogue)."""
     report = {}

@@ -562,10 +562,57 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_topk_oracle(dim: int = 64, n_planes: int = 8, seed: int = 13) -> str:
+    """DuckDB replica of the sign-LSH bucket + in-bucket exact top-k: the
+    SAME hyperplanes the Spark plan uses, embedded as double literals (repr
+    round-trips exactly), so the oracle computes identical buckets —
+    approximate ANN becomes deterministically checkable. Bit-flip risk only
+    where a plane dot is within fp-noise of 0 (~1e-15 against O(1)
+    magnitudes): negligible."""
+    from biomedical_knowledge_graph_spark.operators.similarity import (
+        random_hyperplanes,
+    )
+
+    planes = random_hyperplanes(dim, n_planes, seed)
+    bits = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, {dim + 1}),"
+            f" j -> embedding[j]::DOUBLE * ({lit})[j]))"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    return f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x)))
+               AS nrm,
+             ({bucket}) AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, {dim + 1}),
+                     i -> q.embedding[i]::DOUBLE * c.embedding[i]))
+                   / (q.nrm * c.nrm), 6) AS score
+      FROM n q JOIN n c ON q.vec_id < 10 AND q.bucket = c.bucket
+                        AND c.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
 @register(
     "ann_lsh_topk",
-    None,  # approximate by construction — rows-only check
-    "ANN scale path — sign-LSH bucketed top-k (recall < 1 by design)",
+    _lsh_topk_oracle(),
+    "ANN scale path — sign-LSH bucketed top-k; oracle replicates the exact "
+    "bucket bits with the same literal hyperplanes, so the approximate "
+    "structure itself is value-checked",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
@@ -1175,11 +1222,13 @@ def unmatched_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
       ON e.user_id = p.user_id AND e.ts >= p.ts
     """,
-    "as-of join — custom operator (applyInPandas merge_asof; one co-"
-    "partitioning shuffle); DuckDB ASOF JOIN is the oracle",
+    "as-of join — custom operator (applyInPandas merge_asof), hot-key-safe "
+    "variant: keys additionally range-bucketed on time with boundary "
+    "replication so one giant key splits across tasks; DuckDB ASOF JOIN is "
+    "the oracle",
 )
 def asof_last_purchase_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from biomedical_knowledge_graph_spark.operators.asof import asof_join
+    from biomedical_knowledge_graph_spark.operators.asof import asof_join_bucketed
 
     ev = load(spark, sf_dir, "events")
     errors = ev.filter(F.col("event_type") == "error").select(
@@ -1188,8 +1237,9 @@ def asof_last_purchase_before_error(spark: SparkSession, sf_dir: str) -> DataFra
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "value"
     )
-    return asof_join(
-        errors, purchases, key="user_id", ts="ts", right_value_cols=["value"]
+    return asof_join_bucketed(
+        errors, purchases, key="user_id", ts="ts", right_value_cols=["value"],
+        n_buckets=8,
     )
 
 
@@ -1230,4 +1280,304 @@ def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
         F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
         F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S1 full-surface OBO parse, driver-oracled (typed relationships, synonym
+# scope/refs) — the nation dim is rendered into a deterministic OBO file
+# (testdata.render_obo_fixture), parsed by the real reader, and the
+# aggregates are oracled against plain SQL over the same nation table.
+# ---------------------------------------------------------------------------
+
+
+def _obo_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from biomedical_knowledge_graph_spark.sources.readers import read_obo_terms
+    from biomedical_knowledge_graph_spark.sources.testdata import (
+        render_obo_fixture,
+    )
+
+    nation_rows = load(spark, sf_dir, "nation").collect()  # 25-row dim
+    path = Path(tempfile.mkdtemp(prefix="obo_fixture_")) / "fixture.obo"
+    path.write_text(render_obo_fixture(nation_rows))
+    return read_obo_terms(spark, str(path))
+
+
+@register(
+    "obo_relationship_edges",
+    """
+    SELECT * FROM (
+      SELECT 'IS_A' AS rel_type,
+             CAST(count(*) AS BIGINT) AS n_edges,
+             CAST(count(DISTINCT n_nationkey) AS BIGINT) AS n_src_terms,
+             CAST(count(DISTINCT n_regionkey) AS BIGINT) AS n_targets
+      FROM nation
+      UNION ALL
+      SELECT 'PART_OF', CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT n_nationkey) AS BIGINT),
+             CAST(count(DISTINCT (n_regionkey + 1) % 5) AS BIGINT)
+      FROM nation WHERE n_nationkey % 3 = 0
+      UNION ALL
+      SELECT 'REGULATES', CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT n_nationkey) AS BIGINT),
+             CAST(count(DISTINCT (n_nationkey + 1) % 25) AS BIGINT)
+      FROM nation WHERE n_nationkey % 3 = 1
+    ) ORDER BY rel_type
+    """,
+    "S1/F8 — OBO typed term->term edges (is_a + relationship: lines) parsed "
+    "into a relationships array; edge stats per rel_type "
+    "(ref go_kg_builder.py:472-495)",
+)
+def obo_relationship_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    terms = _obo_terms(spark, sf_dir)
+    rels = terms.select(
+        "term_id", F.explode("relationships").alias("r")
+    ).select("term_id", F.col("r.rel_type"), F.col("r.target"))
+    return (
+        rels.groupBy("rel_type")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.countDistinct("term_id").alias("n_src_terms"),
+            F.countDistinct("target").alias("n_targets"),
+        )
+        .orderBy("rel_type")
+    )
+
+
+@register(
+    "obo_synonym_scopes",
+    """
+    SELECT * FROM (
+      SELECT 'BROAD' AS scope,
+             CAST(count(*) AS BIGINT) AS n_synonyms,
+             CAST(count(DISTINCT n_nationkey) AS BIGINT) AS n_terms,
+             CAST(sum(CASE WHEN n_nationkey % 5 <> 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_refs
+      FROM nation WHERE n_nationkey % 2 = 1
+      UNION ALL
+      SELECT 'EXACT', CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT n_nationkey) AS BIGINT),
+             CAST(sum(CASE WHEN n_nationkey % 5 <> 0 THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM nation WHERE n_nationkey % 2 = 0
+    ) ORDER BY scope
+    """,
+    "S1/F8 — OBO synonym scope + refs parse (quote/bracket extraction, "
+    "scope keyword, ref list; ref go_kg_builder.py:432-453)",
+)
+def obo_synonym_scopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    terms = _obo_terms(spark, sf_dir)
+    syn = terms.select(
+        "term_id", F.explode("synonym_details").alias("s")
+    ).select("term_id", F.col("s.scope"), F.size("s.refs").alias("_nrefs"))
+    return (
+        syn.groupBy("scope")
+        .agg(
+            F.count("*").alias("n_synonyms"),
+            F.countDistinct("term_id").alias("n_terms"),
+            F.sum("_nrefs").alias("n_refs"),
+        )
+        .orderBy("scope")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S10 — NeST pathway CSV (gene-list split + per-drug sensitivity columns),
+# rendered deterministically from the nation dim (testdata fixture) and
+# parsed by the real reader; oracled against SQL over nation/region.
+# ---------------------------------------------------------------------------
+
+
+def _pathway_frames(spark: SparkSession, sf_dir: str):
+    import tempfile
+    from pathlib import Path
+
+    from biomedical_knowledge_graph_spark.sources.readers import read_pathway_csv
+    from biomedical_knowledge_graph_spark.sources.testdata import (
+        render_pathway_csv_fixture,
+    )
+
+    nation_rows = load(spark, sf_dir, "nation").collect()  # 25-row dim
+    path = Path(tempfile.mkdtemp(prefix="pathway_fixture_")) / "nest.csv"
+    path.write_text(render_pathway_csv_fixture(nation_rows))
+    return read_pathway_csv(spark, str(path))
+
+
+@register(
+    "pathway_membership",
+    """
+    SELECT 'NEST:' || CAST(n_regionkey AS VARCHAR) AS nest_id,
+           n_name AS gene_symbol
+    FROM nation
+    """,
+    "S10 — pathway gene-list column split into MEMBER_OF_PATHWAY member "
+    "rows (ref omics_pathway_integration.py:50-56)",
+)
+def pathway_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, membership = _pathway_frames(spark, sf_dir)
+    return membership
+
+
+@register(
+    "pathway_modules",
+    """
+    SELECT 'NEST:' || CAST(r_regionkey AS VARCHAR) AS nest_id,
+           'PATHWAY_' || CAST(r_regionkey AS VARCHAR) AS pathway_name,
+           CASE WHEN r_regionkey % 2 = 0
+                THEN 'Pathway for region ' || CAST(r_regionkey AS VARCHAR)
+                ELSE 'PATHWAY_' || CAST(r_regionkey AS VARCHAR)
+           END AS pathway_description,
+           CAST(5 AS INT) AS gene_count,
+           CAST(CASE WHEN r_regionkey = 0 THEN 7 ELSE 5 END AS INT)
+             AS size_all,
+           CASE WHEN r_regionkey % 2 = 0
+                THEN r_regionkey * 0.5::DOUBLE + 0.1::DOUBLE
+           END AS cisplatin_sensitivity,
+           r_regionkey * 1.25::DOUBLE AS etoposide_sensitivity,
+           CAST(NULL AS DOUBLE) AS camptothecin_sensitivity,
+           (r_regionkey % 2 = 0) AS is_selected,
+           CAST(r_regionkey AS INT) AS display_priority,
+           CAST(3 * r_regionkey AS INT) AS aggregate_score
+    FROM region
+    """,
+    "S10 — pathway module rows: typed sensitivity/metadata columns, "
+    "description coalesce, Size_All fallback, absent drug columns as typed "
+    "nulls (ref omics_pathway_integration.py:57-80)",
+)
+def pathway_modules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    modules, _ = _pathway_frames(spark, sf_dir)
+    return modules.select(
+        "nest_id",
+        "pathway_name",
+        "pathway_description",
+        "gene_count",
+        "size_all",
+        "cisplatin_sensitivity",
+        "etoposide_sensitivity",
+        "camptothecin_sensitivity",
+        "is_selected",
+        "display_priority",
+        "aggregate_score",
+    )
+
+
+@register(
+    "cluster_hierarchy_flags",
+    """
+    WITH b AS (
+      SELECT CAST(string_split(p_brand, '#')[2] AS INT) AS bn, p_partkey
+      FROM part
+    ),
+    l2 AS (
+      SELECT 'Cluster2-' || CAST(bn AS VARCHAR) AS cluster_name,
+             CAST(2 AS INT) AS hierarchy_level,
+             CAST(bn AS INT) AS cluster_id,
+             CAST(count(*) AS BIGINT) AS gene_count,
+             CAST(0 AS BIGINT) AS child_cluster_count,
+             CAST(1 AS BIGINT) AS parent_cluster_count
+      FROM b GROUP BY bn
+    ),
+    l1 AS (
+      SELECT 'Cluster1-' || CAST(bn % 5 AS VARCHAR) AS cluster_name,
+             CAST(1 AS INT) AS hierarchy_level,
+             CAST(bn % 5 AS INT) AS cluster_id,
+             CAST(0 AS BIGINT) AS gene_count,
+             CAST(count(DISTINCT bn) AS BIGINT) AS child_cluster_count,
+             CAST(0 AS BIGINT) AS parent_cluster_count
+      FROM b GROUP BY bn % 5
+    )
+    SELECT *,
+           (child_cluster_count = 0) AS is_leaf,
+           (parent_cluster_count = 0) AS is_root
+    FROM (SELECT * FROM l2 UNION ALL SELECT * FROM l1)
+    """,
+    "A6 — cluster hierarchy metadata: per-node gene/child/parent counts via "
+    "three partial aggs + outer joins, is_leaf/is_root flags "
+    "(ref omics_nest_integration.py:60-108); hierarchy derived from part "
+    "brands (brand-group <- brand <- part)",
+)
+def cluster_hierarchy_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_knowledge_graph_spark.operators.hierarchy import (
+        cluster_hierarchy_flags,
+    )
+
+    part = load(spark, sf_dir, "part")
+    bn = F.split(F.col("p_brand"), "#").getItem(1).cast("int")
+    gene_edges = part.select(
+        F.concat(F.lit("Cluster2-"), bn.cast("string")).alias("src"),
+        F.concat(F.lit("P"), F.col("p_partkey").cast("string")).alias("dst"),
+    )
+    cluster_edges = part.select(
+        F.concat(F.lit("Cluster1-"), (bn % 5).cast("string")).alias("src"),
+        F.concat(F.lit("Cluster2-"), bn.cast("string")).alias("dst"),
+    ).distinct()
+    return cluster_hierarchy_flags(gene_edges, cluster_edges)
+
+
+@register(
+    "customer_evidence_matrix",
+    """
+    WITH m AS (
+      SELECT c.c_custkey,
+        CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderstatus = 'O') THEN 1 ELSE 0 END AS has_open_order,
+        CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderstatus = 'F') THEN 1 ELSE 0 END AS has_finished_order,
+        CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice >= 350000) THEN 1 ELSE 0 END AS has_big_order,
+        CASE WHEN EXISTS (SELECT 1 FROM orders o JOIN lineitem l
+                          ON l.l_orderkey = o.o_orderkey
+                          WHERE o.o_custkey = c.c_custkey
+                          AND l.l_returnflag = 'R') THEN 1 ELSE 0 END AS has_returned_item,
+        CASE WHEN EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey
+                          AND e.event_type = 'purchase') THEN 1 ELSE 0 END AS has_purchase_event,
+        CASE WHEN EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey
+                          AND e.event_type = 'error') THEN 1 ELSE 0 END AS has_error_event
+      FROM customer c
+    )
+    SELECT *,
+           CAST(has_open_order + has_finished_order + has_big_order
+                + has_returned_item + has_purchase_event + has_error_event
+                AS INT) AS data_types
+    FROM m
+    WHERE has_open_order + has_finished_order + has_big_order
+          + has_returned_item + has_purchase_event + has_error_event >= 4
+    """,
+    "J11 exact shape — per-entity boolean evidence flag per edge type, "
+    "sum >= k filter, ONE shuffle for all six types (tagged union + "
+    "conditional agg) instead of six semi-joins "
+    "(ref biomedical_kg_metrics.py:142-153)",
+)
+def customer_evidence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_knowledge_graph_spark.plans.metrics import (
+        evidence_flag_matrix,
+    )
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_key")
+    )
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    events = load(spark, sf_dir, "events")
+    key = F.col("o_custkey").alias("entity_key")
+    edge_tables = {
+        "open_order": orders.filter(F.col("o_orderstatus") == "O").select(key),
+        "finished_order": orders.filter(F.col("o_orderstatus") == "F").select(key),
+        "big_order": orders.filter(F.col("o_totalprice") >= 350000).select(key),
+        "returned_item": lineitem.filter(F.col("l_returnflag") == "R")
+        .join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .select(key),
+        "purchase_event": events.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("entity_key")
+        ),
+        "error_event": events.filter(F.col("event_type") == "error").select(
+            F.col("user_id").alias("entity_key")
+        ),
+    }
+    matrix = evidence_flag_matrix(cust, edge_tables, key="entity_key")
+    return matrix.filter(F.col("data_types") >= 4).withColumnRenamed(
+        "entity_key", "c_custkey"
     )

@@ -145,6 +145,92 @@ def read_expression_matrix_long(
 
 
 # ---------------------------------------------------------------------------
+# S10 — NeST pathway CSV: gene-list column + per-drug sensitivity columns
+# ---------------------------------------------------------------------------
+
+PATHWAY_DRUG_COLUMNS = (
+    "Camptothecin",
+    "CD437",
+    "Cisplatin",
+    "Etoposide",
+    "Gemcitabine",
+    "Olaparib",
+)
+
+
+def read_pathway_csv(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """NeST pathway table → (modules, membership).
+
+    Reference: kg_scripts/omics_pathway_integration.py:35-88 — wide CSV with
+    'NEST ID' / 'name' / comma-separated 'All_Genes', optional 'name_new'
+    description, six per-drug sensitivity columns, and optional metadata
+    ('selected', 'name_show', 'sum'). Row validity = name AND All_Genes
+    present; gene list split + trim + drop-empties; description coalesces
+    name_new over name; Size_All falls back to the parsed gene count.
+
+    modules: one row per pathway with typed sensitivity/metadata columns
+    (absent CSV columns come back as typed nulls so the schema is stable);
+    membership: exploded (nest_id, gene_symbol) rows — the MEMBER_OF_PATHWAY
+    edge list. All casts are try_cast (ANSI-safe: malformed cells → null,
+    matching the reference's pd.notna gates).
+    """
+    raw = spark.read.csv(path, header=True)
+    cols = set(raw.columns)
+
+    def opt(name: str, cast: str):
+        if name in cols:
+            return F.expr(f"try_cast(`{name}` AS {cast})")
+        return F.lit(None).cast(cast)
+
+    genes = F.array_remove(
+        F.transform(
+            F.split(F.col("All_Genes"), ","), lambda g: F.trim(g)
+        ),
+        "",
+    )
+    valid = raw.filter(
+        F.col("name").isNotNull() & F.col("All_Genes").isNotNull()
+    )
+    modules = valid.select(
+        F.trim(F.col("`NEST ID`")).alias("nest_id"),
+        F.trim(F.col("name")).alias("pathway_name"),
+        genes.alias("genes"),
+        F.size(genes).alias("gene_count"),
+        F.coalesce(
+            opt("Size_All", "int"), F.size(genes)
+        ).alias("size_all"),
+        F.coalesce(
+            F.trim(opt("name_new", "string")), F.trim(F.col("name"))
+        ).alias("pathway_description"),
+        *[
+            opt(drug, "double").alias(f"{drug.lower()}_sensitivity")
+            for drug in PATHWAY_DRUG_COLUMNS
+        ],
+        opt("selected", "boolean").alias("is_selected"),
+        opt("name_show", "int").alias("display_priority"),
+        opt("sum", "int").alias("aggregate_score"),
+    )
+    membership = modules.select(
+        "nest_id", F.explode("genes").alias("gene_symbol")
+    )
+    return modules.drop("genes"), membership
+
+
+def pathway_sensitivity_long(modules: DataFrame) -> DataFrame:
+    """Wide per-drug sensitivity columns → long (nest_id, drug, sensitivity),
+    null rows dropped — same stack-unpivot shape as the expression matrix
+    (A7), one projection, no shuffle."""
+    drugs = [d.lower() for d in PATHWAY_DRUG_COLUMNS]
+    stack_args = ", ".join(f"'{d}', {d}_sensitivity" for d in drugs)
+    return modules.selectExpr(
+        "nest_id",
+        f"stack({len(drugs)}, {stack_args}) AS (drug, sensitivity)",
+    ).filter(F.col("sensitivity").isNotNull())
+
+
+# ---------------------------------------------------------------------------
 # S1 — stanza-structured documents (OBO [Term] blocks)
 # ---------------------------------------------------------------------------
 

@@ -62,3 +62,72 @@ def doc_dict_cte() -> str:
         f"('{a}', '{e}', '{t}')" for a, e, t in DOC_ENTITY_DICT
     )
     return f"dict(alias, entity_id, entity_type) AS (VALUES {rows})"
+
+
+def render_pathway_csv_fixture(nation_rows: list) -> str:
+    """Render a NeST-shaped pathway CSV (S10) from the nation/region dims:
+    one pathway per region whose gene list is the comma-joined nation names
+    of that region. Construction rules (mirrored in the oracle SQL of
+    pathway_membership / pathway_modules):
+
+    - NEST ID 'NEST:<r>', name 'PATHWAY_<r>';
+    - name_new 'Pathway for region <r>' only for even r (coalesce path);
+    - Size_All = 7 for r=0, blank for r=3 (gene-count fallback), else 5;
+    - Cisplatin = r*0.5 + 0.1 for even r, the string 'NA' for odd
+      (try_cast → null); Etoposide = r*1.25 always;
+    - selected = (r % 2 == 0); name_show = r; sum = 3r;
+    - Camptothecin/CD437/Gemcitabine/Olaparib columns absent entirely
+      (typed-null schema-stability path).
+    """
+    by_region: dict[int, list[str]] = {}
+    for r in sorted(nation_rows, key=lambda r: r["n_nationkey"]):
+        by_region.setdefault(r["n_regionkey"], []).append(r["n_name"])
+    lines = ["NEST ID,name,name_new,All_Genes,Size_All,Cisplatin,Etoposide,selected,name_show,sum"]
+    for r in sorted(by_region):
+        genes = ", ".join(by_region[r])  # space after comma → trim path
+        name_new = f"Pathway for region {r}" if r % 2 == 0 else ""
+        size_all = "7" if r == 0 else ("" if r == 3 else "5")
+        cisplatin = f"{r * 0.5 + 0.1:.1f}" if r % 2 == 0 else "NA"
+        lines.append(
+            f'NEST:{r},PATHWAY_{r},{name_new},"{genes}",{size_all},'
+            f"{cisplatin},{r * 1.25:.2f},{str(r % 2 == 0).lower()},{r},{3 * r}"
+        )
+    return "\n".join(lines) + "\n"
+
+
+def render_obo_fixture(nation_rows: list) -> str:
+    """Render the nation dim as a deterministic OBO ontology so the stanza
+    parser's full surface (typed relationships, synonym scope/refs, def
+    refs, xrefs) can be driver-oracled against plain SQL over the same
+    table. Construction rules (mirrored in the oracle SQL of the
+    obo_relationship_edges / obo_synonym_scopes queries):
+
+    - every nation k: term N:<k>, is_a R:<regionkey>;
+    - k % 3 == 0: relationship part_of R:<(regionkey+1)%5>;
+    - k % 3 == 1: relationship regulates N:<(k+1)%25>;
+    - synonym '<name> land', scope EXACT for even k / BROAD for odd,
+      with one ref X:<k> iff k % 5 != 0;
+    - def text with two refs; xref DB:<k> iff k % 4 == 0.
+    """
+    out = ["format-version: 1.2", ""]
+    for r in sorted(nation_rows, key=lambda r: r["n_nationkey"]):
+        k, name, region = r["n_nationkey"], r["n_name"], r["n_regionkey"]
+        out += [
+            "[Term]",
+            f"id: N:{k:02d}",
+            f"name: {name}",
+            "namespace: biological_process",
+            f'def: "Nation {name} term." [REF:{k}, PMID:{7 * k}]',
+        ]
+        scope = "EXACT" if k % 2 == 0 else "BROAD"
+        refs = f"[X:{k}]" if k % 5 != 0 else "[]"
+        out.append(f'synonym: "{name} land" {scope} {refs}')
+        if k % 4 == 0:
+            out.append(f"xref: DB:{k}")
+        out.append(f"is_a: R:{region} ! region {region}")
+        if k % 3 == 0:
+            out.append(f"relationship: part_of R:{(region + 1) % 5} ! next region")
+        elif k % 3 == 1:
+            out.append(f"relationship: regulates N:{(k + 1) % 25:02d}")
+        out.append("")
+    return "\n".join(out)

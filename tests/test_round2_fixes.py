@@ -142,6 +142,58 @@ def test_alias_component_map_auto_routes_distributed(spark):
         alias_component_map(dim, mode="local", broadcast_threshold=10)
 
 
+def test_asof_bucketed_hot_key(spark):
+    """One key holding ~all rows: the range-bucketed as-of join must agree
+    with the plain per-key variant AND split the hot key across multiple
+    (key, bucket) groups so no single task holds the whole key."""
+    import datetime as dt
+
+    from biomedical_knowledge_graph_spark.operators.asof import (
+        asof_join,
+        asof_join_bucketed,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    left_rows = [
+        (i, 99 if i % 50 else i, t0 + dt.timedelta(minutes=3 * i))
+        for i in range(400)
+    ]
+    right_rows = [
+        (99 if i % 40 else i, t0 + dt.timedelta(minutes=7 * i), float(i))
+        for i in range(200)
+    ]
+    left = spark.createDataFrame(left_rows, "event_id long, k long, ts timestamp")
+    right = spark.createDataFrame(right_rows, "k long, ts timestamp, v double")
+    plain = {
+        (r.event_id, r.ts_right, r.v_right)
+        for r in asof_join(left, right, key="k", ts="ts", right_value_cols=["v"]).collect()
+    }
+    bucketed_df = asof_join_bucketed(
+        left, right, key="k", ts="ts", right_value_cols=["v"], n_buckets=8
+    )
+    bucketed = {
+        (r.event_id, r.ts_right, r.v_right) for r in bucketed_df.collect()
+    }
+    assert bucketed == plain
+    assert len(bucketed) == 400
+    # the hot key (99) must occupy several buckets (bounded group size)
+    from pyspark.sql import functions as F2
+
+    micros = "unix_micros(cast(`ts` AS timestamp))"
+    both_ts = left.select(F2.expr(micros).alias("_t")).unionByName(
+        right.select(F2.expr(micros).alias("_t"))
+    )
+    cuts = sorted(set(both_ts.approxQuantile("_t", [i / 8 for i in range(1, 8)], 0.001)))
+    arr = ", ".join(f"{int(c)}L" for c in cuts)
+    n_groups = (
+        left.filter(F2.col("k") == 99)
+        .select(F2.expr(f"size(filter(array({arr}), b -> b <= {micros}))").alias("b"))
+        .distinct()
+        .count()
+    )
+    assert n_groups >= 4
+
+
 def test_minhash_repeat_calls_release_cache(spark):
     """minhash_dedup_pairs must not leak persisted RDDs across calls."""
     docs = spark.createDataFrame(
