@@ -70,7 +70,10 @@ def connected_components(
     for _ in range(max_iter):
         after_large = _star_round(_symmetrize(cur), large=True)
         after_small = _star_round(_symmetrize(after_large), large=False)
-        after_small = after_small.localCheckpoint(eager=True)
+        # LAZY checkpoint: the convergence probe below is the first action,
+        # so it materializes the checkpoint AND tests the predicate in ONE
+        # job per iteration (an eager checkpoint + separate probe was two).
+        after_small = after_small.localCheckpoint(eager=False)
         # Converged when every edge points directly at a component min:
         # no node appears on both sides (star graph = 2-level forest).
         two_level = (

@@ -336,21 +336,23 @@ def simhash_bits(
     iff sum over tokens of (2·bit_j(md5(token)) - 1) > 0. Pure built-ins
     (explode + 64 conditional sums in one hash aggregate).
 
-    The md5 and its 16 hex-digit decodes are hoisted into one projection
-    (``_digits`` array) so each token hashes once, not once per bit —
-    Catalyst does not CSE across aggregate expressions."""
+    The md5 is hoisted into one projection and decoded as TWO 32-bit halves
+    (8 hex chars each) rather than 16 single hex digits — each token pays
+    one md5 + two convs, and every bit is a shift+mask on a long; Catalyst
+    does not CSE across aggregate expressions, so the hoist matters."""
     toks = df.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).filter(F.length("tok") > 0)
-    digits = F.expr(
-        "transform(sequence(1, 16), j -> "
-        "cast(conv(substring(md5(cast(tok as binary)), j, 1), 16, 10) as int))"
+    halves = F.expr(
+        "transform(sequence(0, 1), h -> "
+        "cast(conv(substring(md5(cast(tok as binary)), h * 8 + 1, 8), 16, 10)"
+        " as bigint))"
     )
-    with_digits = toks.select(id_col, digits.alias("_digits"))
+    with_digits = toks.select(id_col, halves.alias("_halves"))
 
     def bit(j: int):
-        digit = F.col("_digits").getItem(j // 4)
-        return F.shiftright(digit, 3 - (j % 4)).bitwiseAND(F.lit(1))
+        half = F.col("_halves").getItem(j // 32)
+        return F.shiftright(half, 31 - (j % 32)).bitwiseAND(F.lit(1)).cast("int")
 
     aggs = [
         (F.sum(bit(j) * 2 - 1) > 0).cast("int").alias(f"b{j}")

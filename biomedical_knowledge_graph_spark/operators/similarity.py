@@ -208,6 +208,84 @@ def lsh_near_pairs(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine (IVF cell).
+
+    ``centroids``: (cent_id, cvec) — a handful of rows, broadcast; the
+    assignment is a corpus-scan × C-centroid cross product (the IVF idiom:
+    O(n·C) instead of O(n²)) ranked per vector with a deterministic
+    tie-break (rounded score desc, cent_id asc). Output: df columns + cell.
+    """
+    scored = df.join(F.broadcast(centroids)).withColumn(
+        "_cs",
+        F.round(
+            _dot(F.col(vec_col), F.col("cvec"))
+            / (
+                F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+                * F.sqrt(_dot(F.col("cvec"), F.col("cvec")))
+            ),
+            round_to,
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cs"), F.asc("cent_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*df.columns, F.col("cent_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroid_ids: list,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus and queries are assigned to
+    nearest-centroid cells (``ivf_assign``); candidates are restricted to
+    the query's cell, then exact-cosine ranked within it.
+
+    Centroids are taken from the corpus itself by id (deterministic, no
+    k-means iteration — at scale the id list would come from a sampled
+    k-means job; the search structure is identical either way). Recall is
+    bounded by single-probe cell assignment; raise C or add multi-probe for
+    higher recall — the oracle replicates the construction exactly, so the
+    approximate structure itself is value-checkable.
+    """
+    cents = corpus.filter(F.col(id_col).isin(centroid_ids)).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+    )
+    c_cells = ivf_assign(corpus, cents, id_col, vec_col, round_to).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "cell"
+    )
+    q_cells = ivf_assign(queries, cents, id_col, vec_col, round_to).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "cell"
+    )
+    joined = c_cells.join(F.broadcast(q_cells), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    qn = F.sqrt(_dot(F.col("_qv"), F.col("_qv")))
+    cn = F.sqrt(_dot(F.col("_cv"), F.col("_cv")))
+    scored = joined.withColumn(
+        "score", F.round(_dot(F.col("_qv"), F.col("_cv")) / (qn * cn), round_to)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

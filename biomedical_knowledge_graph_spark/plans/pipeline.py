@@ -140,9 +140,18 @@ def build_kg(
     # ② mention scan — dictionary ships as one broadcast
     dim_current = resolve_obsolete(entity_dim)
     if mention_strategy == "ac":
-        aliases = [
-            r["alias"] for r in dim_current.select("alias").distinct().collect()
-        ]
+        # the AC automaton is built from a driver-collected alias list; guard
+        # the collect the same way alias_component_map does (limit-probe
+        # before touching everything) — a dictionary beyond broadcast size
+        # needs the token_join strategy, which never collects
+        max_aliases = 50_000_000
+        distinct_aliases = dim_current.select("alias").distinct()
+        if distinct_aliases.limit(max_aliases + 1).count() > max_aliases:
+            raise ValueError(
+                "alias dictionary too large for the AC (driver-collected) "
+                "strategy; use mention_strategy='token_join'"
+            )
+        aliases = [r["alias"] for r in distinct_aliases.collect()]
         mentions = scan_mentions(docs, aliases, id_col="url", text_col="text")
     else:
         mentions = scan_mentions_token_join(

@@ -622,6 +622,62 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_CENTROID_IDS = [0, 50, 100, 150, 200, 250, 300, 350]
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cvec,
+             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x)))
+               AS cnrm
+      FROM embeddings WHERE vec_id IN ({", ".join(map(str, _IVF_CENTROID_IDS))})
+    ),
+    n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x)))
+               AS nrm
+      FROM embeddings
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
+        SELECT n.*, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY round(list_sum(list_transform(range(1, 65),
+                           i -> n.embedding[i]::DOUBLE * c.cvec[i]))
+                         / (n.nrm * c.cnrm), 6) DESC, c.cent_id
+               ) AS rn
+        FROM n CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, 65),
+                     i -> q.embedding[i]::DOUBLE * c.embedding[i]))
+                   / (q.nrm * c.nrm), 6) AS score
+      FROM assigned q JOIN assigned c
+        ON q.vec_id < 10 AND q.cell = c.cell AND c.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    "ANN scale path #2 — IVF cells (nearest-of-C-centroids assignment, "
+    "O(n*C), search within cell); oracle replicates the cell construction "
+    "exactly, so the approximate structure is value-checked",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return _sim.ivf_topk(
+        emb, queries_df, centroid_ids=_IVF_CENTROID_IDS, k=5
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 @register(
     "embedding_near_pairs",
     """

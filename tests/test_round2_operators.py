@@ -107,6 +107,43 @@ def test_evidence_flag_matrix(spark):
     assert rows[3].data_types == 0  # entity with no evidence keeps a row
 
 
+def test_ivf_topk_structure(spark):
+    """IVF: every returned neighbor shares the query's cell; ranks are
+    contiguous from 1; scores equal the exact cosine."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") < 4)
+    cents = [0, 20, 40, 60]
+    out = sim.ivf_topk(df, queries, centroid_ids=cents, k=3).collect()
+    assert out
+    cells = {
+        r.vec_id: r.cell
+        for r in sim.ivf_assign(
+            df,
+            df.filter(F.col("vec_id").isin(cents)).select(
+                F.col("vec_id").alias("cent_id"),
+                F.col("embedding").alias("cvec"),
+            ),
+        ).collect()
+    }
+    by_q = {}
+    for r in out:
+        assert cells[r.query_id] == cells[r.neighbor_id]
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # scores match the exact scorer on the same pairs
+    exact = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in sim.cosine_topk(df, queries, k=79).collect()
+    }
+    for r in out:
+        assert abs(exact[(r.query_id, r.neighbor_id)] - r.score) < 1e-9
+
+
 def test_lsh_near_pairs_recall(spark):
     """Seeded near-dup vectors: multi-table LSH must recover every pair the
     exact all-pairs join finds at the 0.9 threshold (defaults put per-pair

@@ -54,9 +54,20 @@ def timed_run(master: str, shuffle: int, pages_path: str, warm_reps: int = 1) ->
         "bkg-scaling",
         master=master,
         shuffle_partitions=shuffle,
-        # default 64m advisory size lets AQE coalesce the pair shuffle to
-        # fewer partitions than threads, capping reduce parallelism
-        extra_conf={"spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m"},
+        extra_conf={
+            # default 64m advisory size lets AQE coalesce the pair shuffle
+            # to fewer partitions than threads, capping reduce parallelism
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+            # the generated corpus is small on disk (~1 KB/page): with the
+            # default 128m split size + 4m per-file open cost the whole scan
+            # collapses to a handful of input tasks and the map stages
+            # (extract + mention scan) cannot use the threads at all —
+            # measured as a links phase that took the SAME wall at 4 and 16
+            # threads. At 100 TB this is moot (any corpus yields thousands
+            # of splits); locally the split size must shrink with the data.
+            "spark.sql.files.maxPartitionBytes": str(1 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(64 * 1024),
+        },
     )
     warm_python_workers(spark, threads)
     pages = spark.read.parquet(pages_path)
