@@ -95,7 +95,12 @@ def main() -> None:
     n_triples = n_links = 0
     for _ in range(2):  # min-of-2: the host is shared and noisy
         t0 = time.time()
-        result = build_kg(spark, pages, dim, min_cooccur=3)
+        # 'ac' strategy: the mention scan runs in per-core Python worker
+        # processes (separate heaps) — measured faster AND better-scaling
+        # than the single-JVM token-n-gram explode, whose allocation churn
+        # plateaus near 2x in one shared heap (outputs are identical; both
+        # strategies stay available and tested)
+        result = build_kg(spark, pages, dim, min_cooccur=3, mention_strategy="ac")
         n_triples = result.triples.count()
         n_links = result.links.count()
         pipe_walls.append(time.time() - t0)
