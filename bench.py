@@ -48,6 +48,11 @@ def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _assert_headline_scalable() -> None:
+    bad = [n for n in HEADLINE if REGISTRY[n].verification_only]
+    assert not bad, f"verification-only queries must not be benchmarked: {bad}"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")

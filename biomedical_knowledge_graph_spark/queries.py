@@ -41,14 +41,21 @@ class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # DuckDB SQL, or None → rows-only check
     survey_ops: str  # SURVEY.md §2 rows this query covers
+    # verification-grade: deliberately exact-but-quadratic (oracle material
+    # for an LSH-gated scale path) — NEVER benchmark or run at scale
+    verification_only: bool = False
 
 
 REGISTRY: dict[str, QueryDef] = {}
 
 
-def register(name: str, oracle: str | None, survey_ops: str):
+def register(name: str, oracle: str | None, survey_ops: str,
+             verification_only: bool = False):
     def deco(fn):
-        REGISTRY[name] = QueryDef(fn=fn, oracle=oracle, survey_ops=survey_ops)
+        REGISTRY[name] = QueryDef(
+            fn=fn, oracle=oracle, survey_ops=survey_ops,
+            verification_only=verification_only,
+        )
         return fn
 
     return deco
@@ -465,7 +472,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SH_CTE}
     SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8
     """,
-    "n-gram Jaccard near-dup — inverted shingle index join",
+    "n-gram Jaccard near-dup — inverted shingle index join; "
+    "EXACT/quadratic: the brute-force oracle for dedup_minhash_lsh",
+    verification_only=True,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -696,7 +705,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                   i -> a.embedding[i]::DOUBLE * b.embedding[i]))
                 / (a.nrm * b.nrm), 6) >= 0.4
     """,
-    "embedding-cosine near-dup — all pairs >= threshold",
+    "embedding-cosine near-dup — all pairs >= threshold; EXACT/quadratic: "
+    "the brute-force baseline for embedding_near_pairs_lsh",
+    verification_only=True,
 )
 def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")

@@ -113,6 +113,7 @@ class SnapshotTable:
         # empty partitioned dir would carry no schema and break readers)
         staged = staged.persist()
         added = staged.count()
+        partition_counts: list[dict] | None = None
         if added:
             writer = staged
             part_cols = list(self.partition_cols)
@@ -121,6 +122,24 @@ class SnapshotTable:
 
                 writer = writer.withColumn("_bucket", _F.expr(self.bucket_expr))
                 part_cols.append("_bucket")
+            if part_cols:
+                # per-partition counters in the lineage row (north_rule:
+                # "every partition emits lineage rows + counters"); reads
+                # the persisted stage, so this is one cheap aggregate. A
+                # pathological partition count is capped to keep the
+                # manifest bounded — the total is always exact.
+                counts = (
+                    writer.groupBy(*part_cols).count().orderBy(*part_cols)
+                ).collect()
+                if len(counts) <= 10_000:
+                    partition_counts = [
+                        {**{c: r[c] for c in part_cols}, "rows": r["count"]}
+                        for r in counts
+                    ]
+                else:  # pragma: no cover - bounded-manifest guard
+                    partition_counts = [
+                        {"partitions": len(counts), "rows": added}
+                    ]
             w = writer.write.mode("overwrite")
             if part_cols:
                 w = w.partitionBy(*part_cols)
@@ -133,6 +152,7 @@ class SnapshotTable:
             "rows_added": added,
             "key_cols": self.key_cols,
             "wall_s": round(time.time() - t0, 3),
+            "partition_counts": partition_counts,
         }
         manifest = {
             "files": self.current_files() + ([part_dir] if added else []),

@@ -48,6 +48,30 @@ def windowed_event_counts(
     )
 
 
+def stream_dedup_exact(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup — the continuous-ingest counterpart of
+    dedup.exact_duplicate_groups for a training-data firehose.
+
+    ``dropDuplicatesWithinWatermark`` keys the state store on ``key_cols``
+    (e.g. a content hash) and EVICTS state older than the watermark, so
+    state is bounded by the dedup horizon instead of growing with the
+    stream — the only shape that survives an unbounded corpus. Duplicates
+    farther apart than the watermark are not caught here; the batch
+    MERGE sink (key-based anti-join) is the second, exact line of defense.
+    Works on batch frames too (falls back to plain dropDuplicates
+    semantics), which is how the test pins stream ≡ batch.
+    """
+    with_wm = stream.withWatermark(ts_col, watermark)
+    if stream.isStreaming:
+        return with_wm.dropDuplicatesWithinWatermark(key_cols)
+    return with_wm.dropDuplicates(key_cols)
+
+
 def sessionize(
     df: DataFrame,
     ts_col: str = "ts",

@@ -172,3 +172,62 @@ def test_stateful_running_counts_across_microbatches(spark, tmp_path):
         assert latest == {"click": 3, "view": 1, "error": 1}
     finally:
         q.stop()
+
+
+def test_stream_dedup_exact(spark, tmp_path):
+    """Streaming dedup drops same-key duplicates within the watermark and
+    agrees with the batch form on the same data."""
+    import datetime as dt2
+
+    base = dt2.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, "hash_a", 1.0),
+        (2, base + dt2.timedelta(minutes=1), "hash_a", 2.0),  # dup of a
+        (3, base + dt2.timedelta(minutes=2), "hash_b", 3.0),
+        (4, base + dt2.timedelta(minutes=3), "hash_b", 4.0),  # dup of b
+        (5, base + dt2.timedelta(minutes=4), "hash_c", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, content_hash string, value double"
+    )
+    path = str(tmp_path / "dedup_ev")
+    df.write.mode("overwrite").parquet(path)
+
+    batch_keys = {
+        r.content_hash
+        for r in streaming.stream_dedup_exact(df, ["content_hash"]).collect()
+    }
+    assert batch_keys == {"hash_a", "hash_b", "hash_c"}
+
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    q = (
+        streaming.stream_dedup_exact(stream, ["content_hash"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = spark.sql("SELECT * FROM dedup_out").collect()
+    finally:
+        q.stop()
+    assert len(streamed) == 3
+    assert {r.content_hash for r in streamed} == {"hash_a", "hash_b", "hash_c"}
+
+
+def test_sink_partition_counts_lineage(spark, tmp_path):
+    """merge_append records per-partition row counters in the lineage row."""
+    table = SnapshotTable(
+        str(tmp_path / "pc_sink"),
+        key_cols=["k"],
+        bucket_expr="pmod(xxhash64(k), 4)",
+    )
+    df = spark.createDataFrame([(f"k{i}", i) for i in range(40)], "k string, v long")
+    lineage = table.merge_append(df, run_id="r1")
+    pcs = lineage["partition_counts"]
+    assert pcs and sum(p["rows"] for p in pcs) == 40
+    assert {p["_bucket"] for p in pcs} <= {0, 1, 2, 3}
+    # replay: zero rows added, empty counters
+    lineage2 = table.merge_append(df, run_id="r2")
+    assert lineage2["rows_added"] == 0 and lineage2["partition_counts"] is None
