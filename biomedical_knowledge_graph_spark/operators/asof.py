@@ -119,7 +119,11 @@ def asof_join_bucketed(
         right.select(F.expr(micros).alias("_t"))
     )
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = sorted(set(both_ts.approxQuantile("_t", probs, 0.001)))
+    # n_buckets=1 degenerates to plain per-key grouping (empty probs would
+    # NPE inside approxQuantile)
+    cuts = (
+        sorted(set(both_ts.approxQuantile("_t", probs, 0.001))) if probs else []
+    )
     if cuts:
         arr = ", ".join(f"{int(c)}L" for c in cuts)
         bucket_expr = F.expr(f"size(filter(array({arr}), b -> b <= {micros}))")

@@ -226,21 +226,16 @@ def kg_multimodal_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     "J5 — connected-components entity resolution over a linkage graph",
 )
 def kg_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # edge generation via the array-pair idiom (one groupBy(order) shuffle,
+    # pairs emitted JVM-side from the sorted per-order array) instead of a
+    # doc-key self-join — same scale-safe shape cooccurrence_edges uses;
+    # per-order fan-out is bounded (≤7 lineitems) so pairs stay linear
     li = load(spark, sf_dir, "lineitem")
-    lp = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = lp.alias("a"), lp.alias("b")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        cooccurrence_edges(
+            li, doc_col="l_orderkey", ent_col="l_partkey", min_count=3
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= 3)
-        .drop("c")
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
     )
     return connected_components(edges)
 

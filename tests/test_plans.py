@@ -66,3 +66,56 @@ def test_html_pruned_before_downstream(spark):
     pages = fixtures.pages_df(spark, n_pages=5, seed=1)
     docs = extract_pages(pages)
     assert "html" not in docs.columns
+
+
+def test_evidence_matrix_single_shuffle_for_all_types(spark):
+    """N evidence types must fold into ONE aggregation exchange (tagged
+    union + conditional agg), not N semi-join shuffles."""
+    from biomedical_knowledge_graph_spark.plans.metrics import (
+        evidence_flag_matrix,
+    )
+
+    entities = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    edges = {
+        f"t{j}": spark.createDataFrame([(i,) for i in range(j, 10)], "k long")
+        for j in range(6)
+    }
+    plan = plan_of(evidence_flag_matrix(entities, edges, "k"))
+    # the tagged union folds all types into one aggregate: exactly ONE join
+    # (entities ⟕ flags; AQE may upgrade it to broadcast at runtime) — a
+    # semi-join-per-type implementation would show 6 joins here
+    n_joins = sum(plan.count(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert n_joins == 1, f"expected 1 join node, saw {n_joins}:\n{plan}"
+
+
+def test_lsh_near_pairs_single_corpus_scan(spark, tmp_path):
+    """All LSH tables' buckets are computed in ONE projection over one scan
+    (struct array + explode), not one scan per table."""
+    from biomedical_knowledge_graph_spark.operators.similarity import (
+        lsh_near_pairs,
+    )
+
+    path = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0, 0.5]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    plan = plan_of(lsh_near_pairs(df, dim=4, n_planes=2, n_tables=4))
+    # the bucketed frame is scanned twice (self-join) + verify re-joins the
+    # vector table twice = bounded small number of scans, NOT 2*n_tables
+    assert plan.count("Scan parquet") <= 4, plan
+
+
+def test_pathway_reader_no_python(spark, tmp_path):
+    """S10 reader is pure JVM (csv scan + projections, no UDF)."""
+    from biomedical_knowledge_graph_spark.sources.readers import (
+        read_pathway_csv,
+    )
+
+    p = tmp_path / "nest.csv"
+    p.write_text('NEST ID,name,All_Genes\nNEST:1,x,"G1, G2"\n')
+    modules, membership = read_pathway_csv(spark, str(p))
+    for df in (modules, membership):
+        plan = plan_of(df)
+        assert "Python" not in plan and "MapInPandas" not in plan

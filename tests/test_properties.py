@@ -73,3 +73,51 @@ def test_shingle_count_bound(text):
     n = 5
     shingles = {text[i : i + n] for i in range(max(len(text) - n + 1, 0))}
     assert len(shingles) <= max(len(text) - n + 1, 0)
+
+
+# -- bucketed as-of join ------------------------------------------------------
+
+
+def test_asof_bucketed_random_matches_pandas_oracle(spark):
+    """For random keys/timestamps (with duplicates and hot keys), the
+    range-bucketed as-of join matches pandas merge_asof per key, for
+    several bucket counts including degenerate ones."""
+    import random
+
+    import pandas as pd
+
+    from biomedical_knowledge_graph_spark.operators.asof import (
+        asof_join_bucketed,
+    )
+
+    import datetime as dt
+
+    rng = random.Random(17)
+    base = dt.datetime(2024, 1, 1)
+    left_rows = [
+        (i, rng.choice([1, 1, 1, 2, 3]), base + dt.timedelta(seconds=rng.randint(0, 5000)))
+        for i in range(300)
+    ]
+    right_rows = [
+        (rng.choice([1, 1, 2, 4]), base + dt.timedelta(seconds=rng.randint(0, 5000)), float(i))
+        for i in range(150)
+    ]
+    left = spark.createDataFrame(left_rows, "event_id long, k long, ts timestamp")
+    right = spark.createDataFrame(right_rows, "k long, ts timestamp, v double")
+
+    lp = pd.DataFrame(left_rows, columns=["event_id", "k", "ts"]).sort_values("ts", kind="mergesort")
+    rp = pd.DataFrame(right_rows, columns=["k", "ts", "v"]).sort_values("ts", kind="mergesort")
+    want_df = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    want = {
+        (r.event_id, None if pd.isna(r.v) else r.v)
+        for r in want_df.itertuples()
+    }
+    for n_buckets in (1, 2, 7, 64):
+        got = {
+            (r.event_id, r.v_right)
+            for r in asof_join_bucketed(
+                left, right, key="k", ts="ts", right_value_cols=["v"],
+                n_buckets=n_buckets,
+            ).collect()
+        }
+        assert got == want, f"n_buckets={n_buckets}"
