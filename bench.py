@@ -40,6 +40,12 @@ HEADLINE = [
     "segment_brand_overlap",
     "doc_quality",
     "lineitem_measures_unpivot",
+    # round 2 scale-path additions
+    "embedding_near_pairs_lsh",
+    "ann_ivf_topk",
+    "customer_evidence_matrix",
+    "cluster_hierarchy_flags",
+    "asof_last_purchase_before_error",
 ]
 
 

@@ -187,6 +187,51 @@ def minhash_signatures(
     )
 
 
+_M31 = (1 << 31) - 1  # Mersenne prime 2^31-1: (a*h31+b) fits a long
+
+
+def minhash_signatures_jvm(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 128,
+    seed: int = 7,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """(id, signature array<long>) computed entirely JVM-side: shingle →
+    xxhash64 masked to 31 bits → ``num_hashes`` universal-hash minima as
+    plain MIN aggregates.
+
+    Scale shape vs the Arrow variant (minhash_signatures): no
+    ``collect_list`` — the shuffle carries ONE partial row of
+    ``num_hashes`` longs per (doc, map-partition) thanks to map-side
+    combine, instead of every shingle hash of every document; no Python
+    worker round-trip. The hash family differs (31-bit universe vs 61-bit)
+    but LSH band semantics and the exact verify are unchanged, so output
+    pairs are identical in distribution and exactly verified either way.
+    """
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_sets(df, id_col, text_col, n)
+    ).withColumn("h", F.xxhash64("shingle").bitwiseAND(F.lit(_M31)))
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _M31, size=num_hashes).astype(np.int64)
+    b = rng.randint(0, _M31, size=num_hashes).astype(np.int64)
+    aggs = [
+        F.min((F.col("h") * int(a[i]) + int(b[i])) % _M31).alias(f"_m{i}")
+        for i in range(num_hashes)
+    ]
+    grouped = sh.groupBy(id_col).agg(*aggs)
+    return grouped.select(
+        id_col,
+        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias(
+            "signature"
+        ),
+    )
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",

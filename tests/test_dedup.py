@@ -103,3 +103,26 @@ def test_simhash_band_guard():
 
     with pytest.raises(ValueError):
         dedup.simhash_near_pairs(None, max_hamming=8, bands=8)
+
+
+def test_minhash_jvm_signature_parity(spark):
+    """The JVM min-aggregate signature path admits the same verified pairs
+    as the Arrow/numpy path (different hash family, same LSH semantics +
+    exact verify)."""
+    from biomedical_knowledge_graph_spark.operators import dedup as d
+
+    docs = spark.createDataFrame(
+        [(i, ("the quick brown fox jumps over the lazy dog " * 3) + (f"tail {i % 4}"))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    orig = d.minhash_signatures
+    try:
+        base = {(r.id_a, r.id_b, r.jaccard)
+                for r in d.minhash_dedup_pairs(docs, threshold=0.8).collect()}
+        d.minhash_signatures = d.minhash_signatures_jvm
+        jvm = {(r.id_a, r.id_b, r.jaccard)
+               for r in d.minhash_dedup_pairs(docs, threshold=0.8).collect()}
+    finally:
+        d.minhash_signatures = orig
+    assert base == jvm and base  # identical non-empty verified pairs

@@ -112,12 +112,12 @@ def test_asof_bucketed_random_matches_pandas_oracle(spark):
         (r.event_id, None if pd.isna(r.v) else r.v)
         for r in want_df.itertuples()
     }
-    for n_buckets in (1, 2, 7, 64):
+    for n_buckets, hot_threshold in ((1, 10), (2, 0), (7, 50), (64, 10), (8, 10**9)):
         got = {
             (r.event_id, r.v_right)
             for r in asof_join_bucketed(
                 left, right, key="k", ts="ts", right_value_cols=["v"],
-                n_buckets=n_buckets,
+                n_buckets=n_buckets, hot_threshold=hot_threshold,
             ).collect()
         }
-        assert got == want, f"n_buckets={n_buckets}"
+        assert got == want, f"n_buckets={n_buckets} hot={hot_threshold}"

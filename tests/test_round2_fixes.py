@@ -169,7 +169,8 @@ def test_asof_bucketed_hot_key(spark):
         for r in asof_join(left, right, key="k", ts="ts", right_value_cols=["v"]).collect()
     }
     bucketed_df = asof_join_bucketed(
-        left, right, key="k", ts="ts", right_value_cols=["v"], n_buckets=8
+        left, right, key="k", ts="ts", right_value_cols=["v"], n_buckets=8,
+        hot_threshold=100,  # key 99 holds ~390+160 rows -> hot; others cold
     )
     bucketed = {
         (r.event_id, r.ts_right, r.v_right) for r in bucketed_df.collect()
