@@ -58,6 +58,64 @@ def fake_thumbnail_features(payload: bytes, n_buckets: int = 8) -> list[int]:
     return hist
 
 
+def decode_video_frame(payload: bytes, frame_idx: int) -> "object":
+    """STUB: real video decode requires codec libraries not present in this
+    container. ``sample_frames`` below implements the real Spark-side
+    plumbing (one binary in → many frame rows out, deterministic offsets);
+    a real decoder replaces only the byte-window slice with a codec call."""
+    raise NotImplementedError("video codecs unavailable in this environment")
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_bytes: int = 64,
+    every_n: int = 4,
+    max_frames: int = 16,
+) -> DataFrame:
+    """Frame sampling over a binary (video-like) column: one payload →
+    many (id, frame_idx, byte_offset, frame) rows via mapInPandas — the
+    1:N expansion shape a real frame sampler has.
+
+    Deterministic fake decode: "frames" are fixed-width byte windows at
+    stride ``frame_bytes * every_n``, capped at ``max_frames`` per doc
+    (bounds output amplification the same way a real sampler caps fps).
+    Payload is pruned before the Python boundary and never re-emitted —
+    only the (small) sampled frames cross back.
+    """
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_type}, frame_idx int, byte_offset long, frame binary"
+    )
+    stride = frame_bytes * every_n
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, frames = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col].values, pdf[payload_col]):
+                if not payload:
+                    continue
+                for i in range(max_frames):
+                    off = i * stride
+                    if off >= len(payload):
+                        break
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    offs.append(off)
+                    frames.append(bytes(payload[off : off + frame_bytes]))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_idx": idxs,
+                    "byte_offset": offs,
+                    "frame": frames,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(sample, schema=schema)
+
+
 def binary_metadata(
     df: DataFrame,
     id_col: str = "doc_id",

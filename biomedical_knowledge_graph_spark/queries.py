@@ -897,6 +897,38 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.binary_metadata(payloads, id_col="doc_id")
 
 
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(i * 64 AS BIGINT) AS byte_offset,
+           md5(substr(text, i * 64 + 1, 32)) AS frame_md5,
+           CAST(len(substr(text, i * 64 + 1, 32)) AS INT) AS frame_len
+    FROM documents CROSS JOIN (SELECT unnest(range(0, 5)) AS i)
+    WHERE len(text) > 0 AND i * 64 < len(text)
+    """,
+    "multimodal frame sampling — one binary payload -> N frame rows at "
+    "deterministic offsets via mapInPandas (video decode stubbed; 1:N "
+    "expansion plumbing, stride/cap real)",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    frames = _mm.sample_frames(
+        payloads, id_col="doc_id", frame_bytes=32, every_n=2, max_frames=5
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "byte_offset",
+        F.md5("frame").alias("frame_md5"),
+        F.length("frame").alias("frame_len"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar-function / reshaping / merge coverage (SURVEY §2.6-2.7)
 # ---------------------------------------------------------------------------
