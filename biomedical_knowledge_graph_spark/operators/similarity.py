@@ -133,7 +133,7 @@ def lsh_near_pairs(
     dim: int,
     threshold: float = 0.9,
     n_planes: int = 6,
-    n_tables: int = 12,
+    n_tables: int = 24,
     seed: int = 13,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -149,8 +149,8 @@ def lsh_near_pairs(
 
     Recall math: a pair at cosine t collides in one table with
     p = (1 − acos(t)/π)^n_planes; missing all tables has probability
-    (1 − p)^n_tables. Defaults (6 planes × 12 tables) put the miss
-    probability at J-cos = 0.9 below 3e-3 and < 1e-5 for cosine ≥ 0.95 —
+    (1 − p)^n_tables. Defaults (6 planes × 24 tables) put the miss
+    probability at cosine 0.9 below 7e-6 and ~1e-8 at 0.95 —
     near-exact for near-dup detection thresholds.
 
     All tables' buckets are computed in one projection and exploded, so the
@@ -160,22 +160,47 @@ def lsh_near_pairs(
     base = with_norm(
         df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v")), "_v"
     )
-    # one struct per table: (table, bucket) — planes drawn per-table from
-    # a derived seed so tables are independent
-    table_structs = []
-    for t in range(n_tables):
-        planes = random_hyperplanes(dim, n_planes, seed + 1009 * t)
-        bucket = F.lit(0).cast("long")
-        for i, plane in enumerate(planes):
-            arr = F.array(*[F.lit(float(x)) for x in plane])
-            bit = (_dot(F.col("_v"), arr) > 0).cast("long")
-            bucket = bucket + F.shiftleft(bit, i)
-        table_structs.append(
-            F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket"))
-        )
-    bucketed = base.select(
-        "_vid", F.explode(F.array(*table_structs)).alias("tb")
-    ).select("_vid", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    # all tables' sign bits in ONE numpy matmul over Arrow batches:
+    # (batch × dim) @ (dim × tables·planes) → signs → per-table bucket ids.
+    # The pure-column alternative (aggregate/zip_with folds per plane) is a
+    # higher-order function per dot — Catalyst interprets HOFs row-by-row,
+    # so 96 folds × 64 dims dominated the query wall; the matmul is
+    # vectorized and deterministic (fixed seeds, float64).
+    planes_mat = np.concatenate(
+        [
+            np.asarray(random_hyperplanes(dim, n_planes, seed + 1009 * t)).T
+            for t in range(n_tables)
+        ],
+        axis=1,
+    )  # (dim, n_tables * n_planes)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    id_type = df.schema[id_col].dataType.simpleString()
+    bc = df.sparkSession.sparkContext.broadcast(planes_mat)
+
+    def bucketize(batches):
+        import pandas as pd
+
+        P = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame({"_vid": [], "tbl": [], "bucket": []})
+                continue
+            V = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+            signs = (V @ P) > 0  # (n, tables*planes)
+            signs = signs.reshape(len(pdf), n_tables, n_planes)
+            buckets = (signs * weights).sum(axis=2)  # (n, tables)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "_vid": np.repeat(pdf["_vid"].values, n_tables),
+                    "tbl": np.tile(np.arange(n_tables), n),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    bucketed = base.select("_vid", "_v").mapInPandas(
+        bucketize, schema=f"_vid {id_type}, tbl int, bucket long"
+    )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cands = (
         a.join(

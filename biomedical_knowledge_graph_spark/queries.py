@@ -752,12 +752,12 @@ def _perturbed_corpus(emb: DataFrame) -> DataFrame:
     """,
     "embedding near-dup, the 100 TB path — multi-table sign-LSH candidate "
     "gate + exact within-bucket verify; oracle is brute force (6 planes x "
-    "16 tables: miss prob < 1e-5 at cosine 0.95)",
+    "24 tables: miss prob ~1e-8 at cosine 0.95)",
 )
 def embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return _sim.lsh_near_pairs(
-        _perturbed_corpus(emb), dim=64, threshold=0.9, n_planes=6, n_tables=16
+        _perturbed_corpus(emb), dim=64, threshold=0.9, n_planes=6, n_tables=24
     )
 
 
