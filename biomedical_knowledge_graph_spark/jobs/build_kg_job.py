@@ -63,9 +63,24 @@ def run(
     )
     nodes_sink.merge_append(result.nodes, run_id=run_id)
 
-    report = collect_all_metrics(
-        nodes_sink.read(spark), triples_sink.read(spark)
+    # per-phase validation checkpoint (reference: go_kg_builder.py:2159-2296
+    # runtime validation queries): committed edges must reference committed
+    # nodes, and both tables must be non-empty — fail the job rather than
+    # report metrics over a half-built graph
+    from biomedical_knowledge_graph_spark.plans import validation as V
+
+    nodes_df = nodes_sink.read(spark)
+    triples_df = triples_sink.read(spark)
+    vreport = V.ValidationReport()
+    V.validate_non_empty(nodes_df, "nodes", vreport)
+    V.validate_non_empty(triples_df, "triples", vreport)
+    V.validate_referential_integrity(
+        triples_df, nodes_df, ["subj", "obj"], "entity_id", vreport
     )
+    vreport.require()
+
+    report = collect_all_metrics(nodes_df, triples_df)
+    report["validation"] = vreport.to_dict()
     report["lineage"] = {
         "triples": triples_sink.lineage(),
         "nodes": nodes_sink.lineage(),

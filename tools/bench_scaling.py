@@ -227,6 +227,10 @@ def main() -> None:
         }
         print(json.dumps(out))
 
+        # BENCH.md is an authored document (results + analysis + appendices);
+        # only clobber it when explicitly asked — default emits JSON only
+        if os.environ.get("BKG_WRITE_BENCH", "0") != "1":
+            return
         with open("BENCH.md", "w") as f:
             f.write(
                 f"""# BENCH — scaling-efficiency evidence (north_rule)
