@@ -1442,6 +1442,43 @@ def obo_relationship_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "obo_typed_triples",
+    """
+    SELECT * FROM (
+      SELECT 'N:' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS subj,
+             'IS_A' AS pred,
+             'R:' || CAST(n_regionkey AS VARCHAR) AS obj
+      FROM nation
+      UNION ALL
+      SELECT 'N:' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0'),
+             'PART_OF',
+             'R:' || CAST((n_regionkey + 1) % 5 AS VARCHAR)
+      FROM nation WHERE n_nationkey % 3 = 0
+      UNION ALL
+      SELECT 'N:' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0'),
+             'REGULATES',
+             'N:' || lpad(CAST((n_nationkey + 1) % 25 AS VARCHAR), 2, '0')
+      FROM nation WHERE n_nationkey % 3 = 1
+    ) ORDER BY subj, pred, obj
+    """,
+    "S1+K1 — typed term->term relationship edges materialized into the "
+    "(subj, pred, obj) triple shape the sink commits (the reference's "
+    "hierarchical+typed edge families, go_kg_builder.py:680-790)",
+)
+def obo_typed_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    terms = _obo_terms(spark, sf_dir)
+    return (
+        terms.select("term_id", F.explode("relationships").alias("r"))
+        .select(
+            F.col("term_id").alias("subj"),
+            F.col("r.rel_type").alias("pred"),
+            F.col("r.target").alias("obj"),
+        )
+        .orderBy("subj", "pred", "obj")
+    )
+
+
+@register(
     "obo_synonym_scopes",
     """
     SELECT * FROM (

@@ -121,3 +121,48 @@ def test_asof_bucketed_random_matches_pandas_oracle(spark):
             ).collect()
         }
         assert got == want, f"n_buckets={n_buckets} hot={hot_threshold}"
+
+
+# -- OBO stanza parser --------------------------------------------------------
+
+_obo_line = st.one_of(
+    st.just("id: GO:0000001"),
+    st.just("name: some term"),
+    st.builds(lambda s: f"namespace: {s}", st.sampled_from(["biological_process", "cellular_component"])),
+    st.builds(lambda t, r: f'def: "{t}" [{r}]', st.text(alphabet="abc ", max_size=10), st.text(alphabet="A:,1", max_size=8)),
+    st.builds(lambda t, sc: f'synonym: "{t}" {sc} []', st.text(alphabet="xy ", max_size=8), st.sampled_from(["EXACT", "BROAD", "NARROW", "RELATED", ""])),
+    st.builds(lambda g: f"is_a: GO:{g:07d} ! parent", st.integers(0, 99)),
+    st.builds(lambda rt, g: f"relationship: {rt} GO:{g:07d}", st.sampled_from(["part_of", "regulates", ""]), st.integers(0, 99)),
+    st.builds(lambda v: f"xref: DB:{v}", st.integers(0, 9)),
+    st.just("is_obsolete: true"),
+    st.just("replaced_by: GO:0000009"),
+    st.just("malformed line without colon—ish"),
+    st.just(""),
+    st.just("[Typedef]"),
+)
+
+
+@given(st.lists(_obo_line, max_size=20))
+@settings(max_examples=150, deadline=None)
+def test_obo_stanza_parser_total(lines):
+    """The stanza parser never raises on arbitrary line soup, returns None
+    without an id, and emits schema-complete dicts otherwise — with is_a
+    always mirrored into relationships as IS_A."""
+    from biomedical_knowledge_graph_spark.sources.readers import (
+        _OBO_COLUMNS,
+        _parse_stanza,
+    )
+
+    term = _parse_stanza("\n".join(lines))
+    if term is None:
+        assert not any(line.startswith("id:") for line in lines) or any(
+            line.startswith("[") and lines.index(line) < next(
+                (i for i, l in enumerate(lines) if l.startswith("id:")), len(lines)
+            )
+            for line in lines
+        )
+        return
+    assert set(term) == set(_OBO_COLUMNS)
+    is_a_rels = [r for r in term["relationships"] if r["rel_type"] == "IS_A"]
+    assert [r["target"] for r in is_a_rels] == term["is_a"]
+    assert len(term["synonyms"]) == len(term["synonym_details"])
