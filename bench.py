@@ -60,6 +60,7 @@ def _assert_headline_scalable() -> None:
 
 
 def main() -> None:
+    _assert_headline_scalable()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(

@@ -50,20 +50,29 @@ def cluster_hierarchy_flags(
     parent_counts = cluster_edges.groupBy(F.col(dst).alias("cluster_name")).agg(
         F.count("*").alias("_pc")
     )
-    level_str = F.regexp_extract("cluster_name", _CLUSTER_RE, 1)
-    id_str = F.regexp_extract("cluster_name", _CLUSTER_RE, 2)
+    # coalesce(try_cast(...), -1): a non-matching name extracts '' and an
+    # absurdly long digit run overflows int — BOTH cast to null and fall
+    # back to the reference's -1 sentinel (one extraction per field, no
+    # duplicated pattern / separate guard)
+    sql_re = _CLUSTER_RE.replace("\\", "\\\\")  # SQL string literal escaping
+
+    def parsed(group: int):
+        return F.coalesce(
+            F.expr(
+                f"try_cast(regexp_extract(cluster_name,"
+                f" '{sql_re}', {group}) AS int)"
+            ),
+            F.lit(-1),
+        )
+
     return (
         clusters.join(gene_counts, "cluster_name", "left")
         .join(child_counts, "cluster_name", "left")
         .join(parent_counts, "cluster_name", "left")
         .select(
             "cluster_name",
-            F.when(level_str != "", F.expr("try_cast(regexp_extract(cluster_name, '^Cluster(\\\\d+)-(\\\\d+)$', 1) AS int)"))
-            .otherwise(F.lit(-1))
-            .alias("hierarchy_level"),
-            F.when(id_str != "", F.expr("try_cast(regexp_extract(cluster_name, '^Cluster(\\\\d+)-(\\\\d+)$', 2) AS int)"))
-            .otherwise(F.lit(-1))
-            .alias("cluster_id"),
+            parsed(1).alias("hierarchy_level"),
+            parsed(2).alias("cluster_id"),
             F.coalesce(F.col("_gc"), F.lit(0)).alias("gene_count"),
             F.coalesce(F.col("_cc"), F.lit(0)).alias("child_cluster_count"),
             F.coalesce(F.col("_pc"), F.lit(0)).alias("parent_cluster_count"),

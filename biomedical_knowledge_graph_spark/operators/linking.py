@@ -72,8 +72,15 @@ def link_mentions(
     if "prior" not in dim.columns:
         dim = dim.withColumn("prior", F.lit(1.0))
     dim = dim.withColumn("alias", F.lower(F.col("alias")))
-    group_cols = [c for c in dim.columns if c != "prior"]
-    dim = dim.groupBy(*group_cols).agg(F.max("prior").alias("prior"))
+    # collapse on (alias, canonical_id) ONLY: case variants may differ in
+    # metadata columns too, and any surviving duplicate row would fan every
+    # matching mention out into duplicate links. max prior wins; metadata
+    # resolves by deterministic min.
+    meta_cols = [c for c in dim.columns if c not in ("alias", "canonical_id", "prior")]
+    dim = dim.groupBy("alias", "canonical_id").agg(
+        F.max("prior").alias("prior"),
+        *[F.min(c).alias(c) for c in meta_cols],
+    )
     ambiguity = dim.groupBy("alias").agg(
         F.countDistinct("canonical_id").alias("alias_fanout")
     )

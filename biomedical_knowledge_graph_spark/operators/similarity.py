@@ -198,39 +198,51 @@ def lsh_near_pairs(
                 }
             )
 
+    # persist: the bucketization feeds BOTH sides of the candidate
+    # self-join and the base feeds both sides of the verify — without the
+    # persists the corpus scan + Arrow matmul would run four times. The
+    # small verified-pairs result is materialized eagerly (localCheckpoint)
+    # so the caches release before returning instead of leaking across
+    # calls (same contract as minhash_dedup_pairs).
     bucketed = base.select("_vid", "_v").mapInPandas(
         bucketize, schema=f"_vid {id_type}, tbl int, bucket long"
-    )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a._vid") < F.col("b._vid")),
+    ).persist()
+    base = base.persist()
+    try:
+        a, b = bucketed.alias("a"), bucketed.alias("b")
+        cands = (
+            a.join(
+                b,
+                (F.col("a.tbl") == F.col("b.tbl"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a._vid") < F.col("b._vid")),
+            )
+            .select(F.col("a._vid").alias("id_a"), F.col("b._vid").alias("id_b"))
+            .distinct()
         )
-        .select(F.col("a._vid").alias("id_a"), F.col("b._vid").alias("id_b"))
-        .distinct()
-    )
-    va = base.select(
-        F.col("_vid").alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na")
-    )
-    vb = base.select(
-        F.col("_vid").alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb")
-    )
-    return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn(
-            "score",
-            F.round(
-                _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
-                round_to,
-            ),
+        va = base.select(
+            F.col("_vid").alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na")
         )
-        .filter(F.col("score") >= threshold)
-        .select("id_a", "id_b", "score")
-    )
+        vb = base.select(
+            F.col("_vid").alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb")
+        )
+        result = (
+            cands.join(va, "id_a")
+            .join(vb, "id_b")
+            .withColumn(
+                "score",
+                F.round(
+                    _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+                    round_to,
+                ),
+            )
+            .filter(F.col("score") >= threshold)
+            .select("id_a", "id_b", "score")
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        bucketed.unpersist()
+        base.unpersist()
 
 
 def ivf_assign(

@@ -65,14 +65,21 @@ def alias_component_map(
       pair blowup) — for linkage graphs that do NOT fit on the driver
       (fact-scale entity resolution; see also components.resolve_entities).
     """
+    probed = False
     if mode == "auto":
         # size probe BEFORE any collect: limit(k+1).count() touches at most
         # k+1 rows; a 100M-row alias dim routes to the distributed path
         # instead of OOMing the driver
         probe = dim_current.limit(broadcast_threshold + 1).count()
         mode = "local" if probe <= broadcast_threshold else "distributed"
+        probed = True
     if mode == "local":
-        if dim_current.limit(broadcast_threshold + 1).count() > broadcast_threshold:
+        # explicit mode='local' still gets the guard; auto already probed
+        if (
+            not probed
+            and dim_current.limit(broadcast_threshold + 1).count()
+            > broadcast_threshold
+        ):
             raise ValueError("alias dim too large for local CC; use distributed")
         rows = dim_current.select("alias", "canonical_id").collect()
         parent: dict[str, str] = {}

@@ -125,11 +125,15 @@ class SnapshotTable:
             if part_cols:
                 # per-partition counters in the lineage row (north_rule:
                 # "every partition emits lineage rows + counters"); reads
-                # the persisted stage, so this is one cheap aggregate. A
-                # pathological partition count is capped to keep the
-                # manifest bounded — the total is always exact.
+                # the persisted stage, so this is one cheap aggregate. The
+                # limit is applied BEFORE collect so a pathological
+                # partition count bounds driver memory, not just the
+                # manifest size — the rows_added total is always exact.
                 counts = (
-                    writer.groupBy(*part_cols).count().orderBy(*part_cols)
+                    writer.groupBy(*part_cols)
+                    .count()
+                    .orderBy(*part_cols)
+                    .limit(10_001)
                 ).collect()
                 if len(counts) <= 10_000:
                     partition_counts = [
@@ -138,7 +142,7 @@ class SnapshotTable:
                     ]
                 else:  # pragma: no cover - bounded-manifest guard
                     partition_counts = [
-                        {"partitions": len(counts), "rows": added}
+                        {"partitions": "10000+", "rows": added}
                     ]
             w = writer.write.mode("overwrite")
             if part_cols:

@@ -330,9 +330,11 @@ def _parse_stanza(stanza: str) -> dict | None:
         elif key == "namespace":
             term["namespace"] = val
         elif key == "def":
-            # quoted definition: def: "text" [refs]
+            # quoted definition: def: "text" [refs] — the text itself may
+            # contain brackets ('[4Fe-4S] cluster'), so the refs block is
+            # whatever follows the LAST quote, never a bracket inside it
             if val.startswith('"'):
-                end = val.rfind('"', 0, val.find("[")) if "[" in val else val.find('"', 1)
+                end = val.rfind('"')
                 if end > 0:
                     term["definition"] = val[1:end]
                     term["def_refs"] = _bracket_refs(val[end:])
@@ -367,8 +369,12 @@ def _parse_stanza(stanza: str) -> dict | None:
                 if len(parts) >= 3:
                     text = parts[1]
                     remainder = parts[2].strip()
-                    scope = next(
-                        (s for s in _SYNONYM_SCOPES if s in remainder), "RELATED"
+                    # the scope is the FIRST token after the closing quote —
+                    # a substring scan would misread scope words embedded in
+                    # the refs block (e.g. [GOC:EXACT_REF])
+                    first_tok = remainder.split(None, 1)[0] if remainder else ""
+                    scope = (
+                        first_tok if first_tok in _SYNONYM_SCOPES else "RELATED"
                     )
                     term["synonyms"].append(text)
                     term["synonym_details"].append(

@@ -176,6 +176,31 @@ relationship: regulates GO:0007052
     assert t.is_a == ["GO:0051231"]
 
 
+def test_obo_bracketed_definition_and_scope_in_refs():
+    """Review regressions: '[' inside the quoted definition must not corrupt
+    it or drop def_refs; a scope keyword embedded in a synonym ref must not
+    override the real scope."""
+    from biomedical_knowledge_graph_spark.sources.readers import _parse_stanza
+
+    term = _parse_stanza(
+        "\n".join(
+            [
+                "id: GO:0000001",
+                'def: "Binding to a [4Fe-4S] cluster." [GOC:mah, PMID:1]',
+                'synonym: "S phase thing" RELATED [GOC:EXACT_REF]',
+                'synonym: "bare" [X:1]',
+            ]
+        )
+    )
+    assert term["definition"] == "Binding to a [4Fe-4S] cluster."
+    assert term["def_refs"] == ["GOC:mah", "PMID:1"]
+    details = [(d["text"], d["scope"], d["refs"]) for d in term["synonym_details"]]
+    assert details == [
+        ("S phase thing", "RELATED", ["GOC:EXACT_REF"]),
+        ("bare", "RELATED", ["X:1"]),  # missing scope defaults to RELATED
+    ]
+
+
 def test_geneset_json_and_priority_dedup(spark, tmp_path):
     (tmp_path / "a.json").write_text(
         json.dumps(

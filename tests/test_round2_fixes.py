@@ -108,6 +108,27 @@ def test_link_mentions_case_folds_aliases(spark):
     assert by_surface[(2, "unknown")].canonical_id is None
 
 
+def test_link_mentions_case_dup_with_divergent_metadata(spark):
+    """Case variants that disagree in a metadata column must STILL collapse
+    to one dictionary row (review regression: grouping by all columns kept
+    both and fanned every mention out into duplicate links)."""
+    mentions = spark.createDataFrame(
+        [(1, "brca1")], "doc_id long, surface string"
+    )
+    dim = spark.createDataFrame(
+        [
+            ("BRCA1", "G:1", "gene", "ns1", 1.0),
+            ("brca1", "G:1", "gene", "ns2", 0.5),
+        ],
+        "alias string, canonical_id string, entity_type string, "
+        "namespace string, prior double",
+    )
+    got = link_mentions(mentions, dim, id_col="doc_id").collect()
+    assert len(got) == 1
+    assert got[0].canonical_id == "G:1" and got[0].score == 1.0
+    assert got[0].namespace == "ns1"  # deterministic min
+
+
 def test_expression_matrix_na_cells(spark, tmp_path):
     """'NA'/blank cells are dropped (P4), not a CAST_INVALID_INPUT crash
     under Spark 4 ANSI mode."""
