@@ -105,7 +105,10 @@ def main() -> None:
     dim = fixtures.synthetic_entity_dict_df(spark, 5000, seed=42)
     pipe_walls = []
     n_triples = n_links = 0
-    for _ in range(2):  # min-of-2: the host is shared and noisy
+    # min-of-3: the host is shared and BIMODAL (same run measured 15s and
+    # 99s an hour apart) — a third rep materially improves the odds that
+    # one rep lands in a quiet window
+    for _ in range(3):
         t0 = time.time()
         # 'ac' strategy: the mention scan runs in per-core Python worker
         # processes (separate heaps) — measured faster AND better-scaling
