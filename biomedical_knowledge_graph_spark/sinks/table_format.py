@@ -86,7 +86,18 @@ class SnapshotTable:
         files = self.current_files()
         if not files:
             return None
-        return spark.read.parquet(*files)
+        # each committed part dir is its own hive-partitioned root (its
+        # partition values are self-describing), so multiple snapshots must
+        # be loaded per-root and unioned — one multi-path read throws
+        # CONFLICTING_DIRECTORY_STRUCTURES as soon as a table has two
+        # row-adding commits
+        out = None
+        for f in files:
+            df = spark.read.parquet(f)
+            out = df if out is None else out.unionByName(
+                df, allowMissingColumns=True
+            )
+        return out
 
     # -- write -------------------------------------------------------------------
     def merge_append(self, df: DataFrame, run_id: str | None = None) -> dict:

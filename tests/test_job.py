@@ -115,3 +115,70 @@ def test_asof_join_matches_pandas_oracle(spark):
         if ts_r is not None:
             left_ts = dict((i, t) for i, _, t in left_rows)[r_id]
             assert ts_r <= left_ts
+
+
+def test_full_build_job_phases_and_resume(spark, tmp_path):
+    """The multi-phase orchestrator (§3.1 analogue): ontology phase commits
+    term nodes + typed triples, annotation phase links pages against the
+    ontology-derived dictionary, metrics/validation/report artifacts land,
+    and a replay with the same run-id commits zero new rows."""
+    from biomedical_knowledge_graph_spark.jobs import full_build_job as J
+
+    obo = tmp_path / "go.obo"
+    obo.write_text(
+        "\n".join(
+            [
+                "format-version: 1.2",
+                "",
+                "[Term]",
+                "id: T:1",
+                "name: alpha kinase",
+                "namespace: biological_process",
+                'synonym: "alpha enzyme" EXACT []',
+                'synonym: "loose alias" BROAD []',
+                "is_a: T:3 ! parent",
+                "",
+                "[Term]",
+                "id: T:2",
+                "name: beta channel",
+                "namespace: biological_process",
+                "relationship: part_of T:3",
+                "",
+                "[Term]",
+                "id: T:3",
+                "name: parent process",
+                "namespace: biological_process",
+                "",
+            ]
+        )
+    )
+    pages_path = str(tmp_path / "pages")
+    rows = []
+    for i in range(30):
+        body = "alpha kinase binds beta channel strongly" if i % 2 else "alpha enzyme alone"
+        rows.append((f"u{i}", f"<html><body>{body}</body></html>".encode()))
+    spark.createDataFrame(rows, "url string, html binary").write.parquet(pages_path)
+
+    out = str(tmp_path / "out")
+    report = J.run(spark, str(obo), pages_path, out, run_id="r1", min_cooccur=2)
+    assert report["phase1"]["terms"] == 3
+    assert report["phase1"]["typed_triples_added"] == 2  # IS_A + PART_OF
+    assert report["validation"]["passed"]
+    from biomedical_knowledge_graph_spark.sinks.table_format import (
+        SnapshotTable as _ST,
+    )
+
+    triples_tbl = _ST(f"{out}/triples", key_cols=["subj", "pred", "obj"])
+    preds = {r.pred for r in triples_tbl.read(spark).collect()}
+    assert {"IS_A", "PART_OF", "CO_OCCURS_WITH"} <= preds
+    # 'alpha enzyme' (EXACT synonym) must link to T:1; 'loose alias' must not
+    # exist as an alias at all (BROAD excluded)
+    import os as _os
+    assert _os.path.exists(f"{out}/metrics-r1.json")
+    assert _os.path.exists(f"{out}/report-r1.txt")
+
+    total_before = triples_tbl.count(spark)
+    report2 = J.run(spark, str(obo), pages_path, out, run_id="r1", min_cooccur=2)
+    total_after = triples_tbl.count(spark)
+    assert total_after == total_before  # exact no-op replay
+    assert report2["phase1"]["typed_triples_added"] == 0
