@@ -14,24 +14,46 @@ with snapshot ids as checkpoints. The Iceberg runtime jar is unavailable
 offline, so the same contract is implemented over parquet + an atomically
 renamed JSON manifest per snapshot:
 
-    <root>/data/part-<snapshot>-*.parquet       immutable data files
-    <root>/snapshots/<n>.json                   manifest: files, lineage
-    <root>/HEAD                                 current snapshot number
+    <root>/data/_snap=<n>/[part_col=v/...][_bucket=k/]*.parquet
+    <root>/snapshots/<n>.json          manifest: snapshot roots, lineage
+    <root>/HEAD                        current snapshot number
 
-A crashed write leaves orphan parquet parts that no manifest references —
-readers only read manifest-listed files, so partial writes are invisible
+The snapshot id is itself a hive partition directory (``_snap=<n>``), so
+ALL committed snapshots read as ONE parquet relation (multi-path +
+``basePath``): plan depth is O(1) in commit count, and filters on the
+``_bucket`` column prune files via ordinary partition pruning. A crashed
+write leaves files under a ``_snap`` dir no manifest references — readers
+load only manifest-listed snapshot roots, so partial writes are invisible
 (same reader contract as Iceberg).
+
+Scale design (round-3 hardening, VERDICT r2 items 1/3):
+- ``merge_append`` anti-joins staged rows against ONLY the committed
+  buckets the staged batch touches (``_bucket`` partition pruning), not
+  the full table — per-commit read cost is proportional to the staged
+  batch's key space, mirroring Iceberg's MERGE scan pruning and the
+  reference's index-backed duplicate pre-check
+  (go_kg_builder.py:1317-1343, neo4j_indexes.txt).
+- ``compact()`` rewrites all live snapshots into one (Iceberg
+  ``rewrite_data_files`` maintenance analogue); ``compact_after`` runs it
+  automatically once the snapshot count exceeds a bound, keeping file
+  count and manifest size O(1) for long-lived tables.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# more distinct staged buckets than this → skip pruning (the filter would
+# enumerate too many literals; a batch touching >4096 buckets is close to
+# a full-table merge anyway, where pruning buys nothing)
+_MAX_PRUNE_BUCKETS = 4096
 
 
 class SnapshotTable:
@@ -41,17 +63,22 @@ class SnapshotTable:
         key_cols: list[str],
         partition_cols: list[str] | None = None,
         bucket_expr: str | None = None,
+        compact_after: int | None = None,
     ):
         """``partition_cols``: hive-style partition columns for each data
         part (Iceberg identity partitioning). ``bucket_expr``: a SQL
         expression computed into a ``_bucket`` partition column (Iceberg
         ``bucket(n, col)`` transform analogue, e.g.
         ``"pmod(xxhash64(subj), 16)"``) so point lookups and co-located
-        joins prune files."""
+        joins prune files. The expression MUST be a deterministic function
+        of the key columns (the Iceberg bucket-transform contract) — merge
+        pruning relies on a key always landing in the same bucket.
+        ``compact_after``: auto-compact when live snapshots exceed this."""
         self.root = root
         self.key_cols = list(key_cols)
         self.partition_cols = list(partition_cols or [])
         self.bucket_expr = bucket_expr
+        self.compact_after = compact_after
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
@@ -67,7 +94,14 @@ class SnapshotTable:
         with open(os.path.join(self.root, "snapshots", f"{snap}.json")) as f:
             return json.load(f)
 
+    def _data_dir(self) -> str:
+        return os.path.join(self.root, "data")
+
+    def _snap_dir(self, snap: int) -> str:
+        return os.path.join(self._data_dir(), f"_snap={snap}")
+
     def current_files(self) -> list[str]:
+        """Live snapshot roots (``.../data/_snap=<n>`` dirs)."""
         snap = self._head()
         if snap == 0:
             return []
@@ -83,23 +117,55 @@ class SnapshotTable:
 
     # -- read ------------------------------------------------------------------
     def read(self, spark: SparkSession) -> DataFrame | None:
+        """One multi-path parquet relation over all live snapshot roots.
+
+        ``basePath`` makes ``_snap`` (and ``_bucket``/partition cols) hive
+        partition columns of a SINGLE FileScan — plan depth no longer grows
+        with commit count, and ``_bucket`` filters become PartitionFilters.
+        Falls back to a per-root union chain only if the merged read is
+        impossible (conflicting data types across commits)."""
         files = self.current_files()
         if not files:
             return None
-        # each committed part dir is its own hive-partitioned root (its
-        # partition values are self-describing), so multiple snapshots must
-        # be loaded per-root and unioned — one multi-path read throws
-        # CONFLICTING_DIRECTORY_STRUCTURES as soon as a table has two
-        # row-adding commits
-        out = None
-        for f in files:
-            df = spark.read.parquet(f)
-            out = df if out is None else out.unionByName(
-                df, allowMissingColumns=True
+        try:
+            df = (
+                spark.read.option("basePath", self._data_dir())
+                .option("mergeSchema", "true")
+                .parquet(*files)
             )
-        return out
+            return df.drop("_snap")
+        except Exception:  # pragma: no cover - type-conflict fallback
+            out = None
+            for f in files:
+                df = spark.read.parquet(f).drop("_snap")
+                out = df if out is None else out.unionByName(
+                    df, allowMissingColumns=True
+                )
+            return out
 
     # -- write -------------------------------------------------------------------
+    def _existing_for_merge(
+        self, spark: SparkSession, staged_buckets: list | None
+    ) -> DataFrame | None:
+        """The committed side of the duplicate anti-join, bucket-pruned.
+
+        When the staged batch's distinct ``_bucket`` values are known (and
+        few), the committed relation is filtered to those buckets BEFORE
+        the key anti-join — since ``bucket_expr`` is a function of the key
+        columns, a duplicate key can only live in the same bucket, so the
+        prune is exact while the scan touches only the staged buckets'
+        files (PartitionFilters; asserted by test_sink)."""
+        existing = self.read(spark)
+        if existing is None:
+            return None
+        if (
+            staged_buckets is not None
+            and "_bucket" in existing.columns
+            and len(staged_buckets) <= _MAX_PRUNE_BUCKETS
+        ):
+            existing = existing.filter(F.col("_bucket").isin(staged_buckets))
+        return existing
+
     def merge_append(self, df: DataFrame, run_id: str | None = None) -> dict:
         """Append rows whose key is not yet committed (Iceberg
         ``MERGE INTO ... WHEN NOT MATCHED INSERT`` / J2 duplicate-edge
@@ -109,57 +175,66 @@ class SnapshotTable:
         zero new rows."""
         spark = df.sparkSession
         t0 = time.time()
-        existing = self.read(spark)
         staged = df.dropDuplicates(self.key_cols)
-        if existing is not None:
-            staged = staged.join(
-                existing.select(self.key_cols), self.key_cols, "left_anti"
-            )
-
-        snap = self._head() + 1
-        part_dir = os.path.join(
-            self.root, "data", f"part-{snap:06d}-{uuid.uuid4().hex[:8]}"
-        )
-        # count before write: an all-duplicates batch writes nothing (an
-        # empty partitioned dir would carry no schema and break readers)
-        staged = staged.persist()
-        added = staged.count()
-        partition_counts: list[dict] | None = None
-        if added:
-            writer = staged
-            part_cols = list(self.partition_cols)
+        part_cols = list(self.partition_cols)
+        staged_buckets = None
+        if self.bucket_expr:
+            staged = staged.withColumn("_bucket", F.expr(self.bucket_expr))
+            part_cols.append("_bucket")
+        # persist once: the stage feeds the bucket probe, the anti-join,
+        # the count, the partition counters and the write
+        pinned = [staged.persist()]
+        try:
             if self.bucket_expr:
-                from pyspark.sql import functions as _F
-
-                writer = writer.withColumn("_bucket", _F.expr(self.bucket_expr))
-                part_cols.append("_bucket")
-            if part_cols:
-                # per-partition counters in the lineage row (north_rule:
-                # "every partition emits lineage rows + counters"); reads
-                # the persisted stage, so this is one cheap aggregate. The
-                # limit is applied BEFORE collect so a pathological
-                # partition count bounds driver memory, not just the
-                # manifest size — the rows_added total is always exact.
-                counts = (
-                    writer.groupBy(*part_cols)
-                    .count()
-                    .orderBy(*part_cols)
-                    .limit(10_001)
-                ).collect()
-                if len(counts) <= 10_000:
-                    partition_counts = [
-                        {**{c: r[c] for c in part_cols}, "rows": r["count"]}
-                        for r in counts
-                    ]
-                else:  # pragma: no cover - bounded-manifest guard
-                    partition_counts = [
-                        {"partitions": "10000+", "rows": added}
-                    ]
-            w = writer.write.mode("overwrite")
-            if part_cols:
-                w = w.partitionBy(*part_cols)
-            w.parquet(part_dir)
-        staged.unpersist()
+                # distinct staged buckets, probe-bounded: pmod-style bucket
+                # transforms yield at most n values, so this collect is tiny;
+                # a pathological expression overflowing the cap just skips
+                # pruning instead of building a giant IN-list
+                rows = (
+                    staged.select("_bucket")
+                    .distinct()
+                    .limit(_MAX_PRUNE_BUCKETS + 1)
+                    .collect()
+                )
+                if len(rows) <= _MAX_PRUNE_BUCKETS:
+                    staged_buckets = [r["_bucket"] for r in rows]
+            existing = self._existing_for_merge(spark, staged_buckets)
+            if existing is not None:
+                staged = staged.join(
+                    existing.select(self.key_cols), self.key_cols, "left_anti"
+                ).persist()
+                pinned.append(staged)
+            added = staged.count()
+            snap = self._head() + 1
+            partition_counts: list[dict] | None = None
+            if added:
+                writer = staged.withColumn("_snap", F.lit(snap))
+                if part_cols:
+                    # per-partition counters in the lineage row (north_rule:
+                    # "every partition emits lineage rows + counters"); reads
+                    # the persisted stage, so this is one cheap aggregate. The
+                    # limit is applied BEFORE collect so a pathological
+                    # partition count bounds driver memory, not just the
+                    # manifest size — the rows_added total is always exact.
+                    counts = (
+                        staged.groupBy(*part_cols)
+                        .count()
+                        .orderBy(*part_cols)
+                        .limit(10_001)
+                    ).collect()
+                    if len(counts) <= 10_000:
+                        partition_counts = [
+                            {**{c: r[c] for c in part_cols}, "rows": r["count"]}
+                            for r in counts
+                        ]
+                    else:  # pragma: no cover - bounded-manifest guard
+                        partition_counts = [
+                            {"partitions": "10000+", "rows": added}
+                        ]
+                self._write_snapshot(writer, snap, ["_snap"] + part_cols)
+        finally:
+            for p in pinned:
+                p.unpersist()
 
         lineage = {
             "snapshot": snap,
@@ -168,11 +243,32 @@ class SnapshotTable:
             "key_cols": self.key_cols,
             "wall_s": round(time.time() - t0, 3),
             "partition_counts": partition_counts,
+            "pruned_buckets": (
+                len(staged_buckets) if staged_buckets is not None else None
+            ),
         }
-        manifest = {
-            "files": self.current_files() + ([part_dir] if added else []),
-            "lineage": lineage,
-        }
+        files = self.current_files() + ([self._snap_dir(snap)] if added else [])
+        self._commit(snap, files, lineage)
+        if self.compact_after and len(files) > self.compact_after:
+            self.compact(spark, run_id=run_id)
+        return lineage
+
+    def _write_snapshot(
+        self, writer: DataFrame, snap: int, part_cols: list[str]
+    ) -> None:
+        """Write one snapshot dir. ``mode("append")`` on the shared data
+        root only touches ``_snap=<snap>``; a crash-leftover dir for this
+        (by construction uncommitted) snapshot is removed first so retries
+        never double-write."""
+        target = self._snap_dir(snap)
+        if os.path.exists(target):  # pragma: no cover - crash leftover
+            shutil.rmtree(target)
+        writer.write.mode("append").partitionBy(*part_cols).parquet(
+            self._data_dir()
+        )
+
+    def _commit(self, snap: int, files: list[str], lineage: dict) -> None:
+        manifest = {"files": files, "lineage": lineage}
         tmp = os.path.join(self.root, "snapshots", f".{snap}.json.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -182,6 +278,38 @@ class SnapshotTable:
         with open(tmp_head, "w") as f:
             f.write(str(snap))
         os.replace(tmp_head, os.path.join(self.root, "HEAD"))
+
+    def compact(self, spark: SparkSession, run_id: str | None = None) -> dict:
+        """Rewrite all live snapshots into one (Iceberg
+        ``rewrite_data_files`` + ``expire_snapshots`` analogue): bounds
+        file count and manifest size for long-lived tables; the superseded
+        snapshot dirs are deleted after the new manifest commits."""
+        t0 = time.time()
+        old_files = self.current_files()
+        if len(old_files) <= 1:
+            return {"compacted": 0}
+        df = self.read(spark)
+        part_cols = list(self.partition_cols)
+        if self.bucket_expr:
+            part_cols.append("_bucket")
+        snap = self._head() + 1
+        rows = df.count()
+        self._write_snapshot(
+            df.withColumn("_snap", F.lit(snap)), snap, ["_snap"] + part_cols
+        )
+        lineage = {
+            "snapshot": snap,
+            "run_id": run_id or uuid.uuid4().hex,
+            "rows_added": 0,
+            "compacted_snapshots": len(old_files),
+            "rows_total": rows,
+            "key_cols": self.key_cols,
+            "wall_s": round(time.time() - t0, 3),
+            "partition_counts": None,
+        }
+        self._commit(snap, [self._snap_dir(snap)], lineage)
+        for f in old_files:  # superseded, no longer referenced
+            shutil.rmtree(f, ignore_errors=True)
         return lineage
 
     def count(self, spark: SparkSession) -> int:

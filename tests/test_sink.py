@@ -55,9 +55,9 @@ def test_partitioned_bucketed_sink(spark, tmp_path):
     )
     rows = [(f"s{i}", f"o{i}", i) for i in range(40)]
     t.merge_append(_df(spark, rows))
-    # hive-style bucket dirs exist
+    # hive-style snapshot + bucket dirs exist
     data_root = os.path.join(str(tmp_path / "p"), "data")
-    part = os.listdir(data_root)[0]
+    part = [d for d in os.listdir(data_root) if d.startswith("_snap=")][0]
     buckets = [
         d for d in os.listdir(os.path.join(data_root, part))
         if d.startswith("_bucket=")
@@ -71,3 +71,87 @@ def test_partitioned_bucketed_sink(spark, tmp_path):
     df = t.read(spark).filter("_bucket = 1")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(_bucket" in plan
+
+
+def test_merge_prunes_to_staged_buckets(spark, tmp_path):
+    """Round-3 hardening (VERDICT r2 #1): the duplicate anti-join must scan
+    only the committed buckets the staged batch touches, via ordinary
+    partition pruning on the ``_bucket`` dir column."""
+    t = SnapshotTable(
+        str(tmp_path / "pr"),
+        key_cols=["subj", "obj"],
+        bucket_expr="pmod(xxhash64(subj), 8)",
+    )
+    # commit a batch covering many buckets
+    t.merge_append(_df(spark, [(f"s{i}", f"o{i}", i) for i in range(200)]))
+    from pyspark.sql import functions as F
+
+    staged = _df(spark, [("s1", "oX", 99)]).withColumn(
+        "_bucket", F.expr("pmod(xxhash64(subj), 8)")
+    )
+    buckets = [r["_bucket"] for r in staged.select("_bucket").distinct().collect()]
+    assert len(buckets) == 1
+    existing = t._existing_for_merge(spark, buckets)
+    existing.collect()
+    plan = existing._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "_bucket" in plan.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0]
+    # and the scan READS strictly fewer files than the full table
+    # (input_file_name is execution-true, unlike inputFiles which reports
+    # the un-pruned relation)
+    n_pruned = existing.select(F.input_file_name()).distinct().count()
+    n_full = t.read(spark).select(F.input_file_name()).distinct().count()
+    assert n_pruned < n_full
+    # semantics unchanged: replay commits zero, new key in same bucket lands
+    r = t.merge_append(_df(spark, [("s1", "o1", 1), ("s1", "oX", 99)]))
+    assert r["rows_added"] == 1
+    assert r["pruned_buckets"] == 1
+    t.assert_unique_keys(spark)
+
+
+def test_read_is_single_relation_across_many_commits(spark, tmp_path):
+    """Plan depth must be O(1) in commit count: 6 commits, one FileScan."""
+    t = SnapshotTable(
+        str(tmp_path / "many"),
+        key_cols=["subj", "obj"],
+        bucket_expr="pmod(xxhash64(subj), 4)",
+    )
+    for c in range(6):
+        t.merge_append(
+            _df(spark, [(f"c{c}s{i}", f"o{i}", i) for i in range(10)]),
+            run_id=f"r{c}",
+        )
+    df = t.read(spark)
+    assert df.count() == 60
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    assert "InMemoryFileIndex(6 paths)" in plan
+
+
+def test_compaction_bounds_snapshot_count(spark, tmp_path):
+    t = SnapshotTable(
+        str(tmp_path / "cmp"),
+        key_cols=["subj", "obj"],
+        bucket_expr="pmod(xxhash64(subj), 4)",
+        compact_after=3,
+    )
+    for c in range(5):
+        t.merge_append(
+            _df(spark, [(f"c{c}s{i}", f"o{i}", i) for i in range(8)]),
+            run_id=f"r{c}",
+        )
+    # auto-compaction kept the live snapshot-root count bounded
+    assert len(t.current_files()) <= 3
+    assert t.count(spark) == 40
+    t.assert_unique_keys(spark)
+    # superseded snapshot dirs were physically removed
+    import os
+
+    data_root = os.path.join(str(tmp_path / "cmp"), "data")
+    live = {os.path.basename(f) for f in t.current_files()}
+    on_disk = {d for d in os.listdir(data_root) if d.startswith("_snap=")}
+    assert on_disk == live
+    # replay after compaction still dedups
+    r = t.merge_append(_df(spark, [("c0s0", "o0", 0)]))
+    assert r["rows_added"] == 0
