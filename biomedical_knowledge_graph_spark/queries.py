@@ -683,6 +683,93 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_sampled_topk",
+    """
+    WITH seeds AS (
+      SELECT vec_id AS cent_id, embedding AS cvec,
+             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x)))
+               AS cnrm
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+    ),
+    n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x)))
+               AS nrm
+      FROM embeddings
+    ),
+    assigned0 AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT n.vec_id, n.embedding, s.cent_id AS cell,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY round(list_sum(list_transform(range(1, 65),
+                           i -> n.embedding[i]::DOUBLE * s.cvec[i]))
+                         / (n.nrm * s.cnrm), 6) DESC, s.cent_id
+               ) AS rn
+        FROM n CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    sums AS (
+      SELECT cell, i,
+             SUM(CAST(FLOOR(embedding[i]::DOUBLE * 1048576) AS BIGINT))
+               AS qsum,
+             COUNT(*) AS cnt
+      FROM assigned0, range(1, 65) t(i)
+      GROUP BY cell, i
+    ),
+    cents AS (
+      SELECT cell AS cent_id,
+             list(qsum / (cnt * 1048576.0) ORDER BY i) AS cvec
+      FROM sums GROUP BY cell
+    ),
+    cents_n AS (
+      SELECT cent_id, cvec,
+             sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnrm
+      FROM cents
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, nrm, cell FROM (
+        SELECT n.*, c.cent_id AS cell,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY round(list_sum(list_transform(range(1, 65),
+                           i -> n.embedding[i]::DOUBLE * c.cvec[i]))
+                         / (n.nrm * c.cnrm), 6) DESC, c.cent_id
+               ) AS rn
+        FROM n CROSS JOIN cents_n c
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, 65),
+                     i -> q.embedding[i]::DOUBLE * c.embedding[i]))
+                   / (q.nrm * c.nrm), 6) AS score
+      FROM assigned q JOIN assigned c
+        ON q.vec_id < 10 AND q.cell = c.cell AND c.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    "ANN scale path #3 — IVF with SAMPLED centroids: deterministic "
+    "md5-ordered seed sample + one fixed-point Lloyd iteration (integer "
+    "sums -> bit-identical means across engines/partition orders); the "
+    "oracle replicates the whole construction, so the learned cells "
+    "themselves are value-checked",
+)
+def ann_ivf_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    cents = _sim.sampled_centroids(emb, k=8)
+    return _sim.ivf_topk_from_centroids(
+        emb, queries_df, cents, k=5
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
     "embedding_near_pairs",
     """
     WITH n AS (

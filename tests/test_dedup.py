@@ -116,13 +116,20 @@ def test_minhash_jvm_signature_parity(spark):
          for i in range(40)],
         "doc_id long, text string",
     )
-    orig = d.minhash_signatures
-    try:
-        base = {(r.id_a, r.id_b, r.jaccard)
-                for r in d.minhash_dedup_pairs(docs, threshold=0.8).collect()}
-        d.minhash_signatures = d.minhash_signatures_jvm
-        jvm = {(r.id_a, r.id_b, r.jaccard)
-               for r in d.minhash_dedup_pairs(docs, threshold=0.8).collect()}
-    finally:
-        d.minhash_signatures = orig
+    base = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in d.minhash_dedup_pairs(
+            docs, threshold=0.8, signature_impl="arrow"
+        ).collect()
+    }
+    jvm = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in d.minhash_dedup_pairs(
+            docs, threshold=0.8, signature_impl="jvm"
+        ).collect()
+    }
     assert base == jvm and base  # identical non-empty verified pairs
+    import pytest
+
+    with pytest.raises(ValueError):
+        d.minhash_dedup_pairs(docs, signature_impl="nope")
