@@ -46,6 +46,9 @@ HEADLINE = [
     "customer_evidence_matrix",
     "cluster_hierarchy_flags",
     "asof_last_purchase_before_error",
+    # round 3 additions
+    "ann_ivf_sampled_topk",
+    "kg_golden_metrics",
 ]
 
 
@@ -124,12 +127,14 @@ def main() -> None:
     pages.unpersist()
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    deltas = _deltas_vs_previous_round(timings, sf_val)
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
         "pipeline": {
             "pages": n_pages,
             "links": n_links,
@@ -139,7 +144,52 @@ def main() -> None:
             "pages_per_sec": round(n_pages / pipe_wall, 1),
         },
     }
+    if deltas is not None:
+        out["deltas"] = deltas
     print(json.dumps(out))
+
+
+def _deltas_vs_previous_round(
+    timings: dict[str, float], sf_val
+) -> dict | None:
+    """Round-over-round per-query deltas (VERDICT r2 item 10): compare this
+    run's minima against the newest BENCH_r*.json and flag >1.5x as
+    regressed — sub-second wobble on this shared host is noise, but the
+    harness now computes the ratio itself instead of leaving it to the
+    reader. BKG_PREV_BENCH overrides the baseline file."""
+    import glob
+
+    prev_path = os.environ.get("BKG_PREV_BENCH")
+    if not prev_path:
+        here = os.path.dirname(os.path.abspath(__file__))
+        cands = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+        prev_path = cands[-1] if cands else None
+    if not prev_path or not os.path.exists(prev_path):
+        return None
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    if prev.get("sf") != sf_val:
+        return None  # cross-SF ratios are meaningless
+    prev_q = prev.get("queries") or {}
+    per_query = {}
+    for name, t in timings.items():
+        p = prev_q.get(name)
+        if p:
+            per_query[name] = {
+                "prev_s": p,
+                "ratio": round(t / p, 2),
+                "regressed": t > 1.5 * p,
+            }
+    return {
+        "baseline_file": os.path.basename(prev_path),
+        "queries": per_query,
+        "regressions": sorted(
+            n for n, d in per_query.items() if d["regressed"]
+        ),
+    }
 
 
 if __name__ == "__main__":

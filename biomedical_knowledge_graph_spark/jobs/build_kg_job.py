@@ -46,11 +46,15 @@ def run(
         os.path.join(out_root, "triples"),
         key_cols=["subj", "pred", "obj"],
         bucket_expr="pmod(xxhash64(subj), 16)",
+        # long-lived table: bound snapshot-file growth (Iceberg
+        # rewrite_data_files maintenance analogue)
+        compact_after=16,
     )
     nodes_sink = SnapshotTable(
         os.path.join(out_root, "nodes"),
         key_cols=["entity_id"],
         bucket_expr="pmod(xxhash64(entity_id), 16)",
+        compact_after=16,
     )
     result = build_kg(
         spark,

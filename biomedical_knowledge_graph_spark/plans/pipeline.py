@@ -147,16 +147,30 @@ def build_kg(
     # ② mention scan — dictionary ships as one broadcast
     dim_current = resolve_obsolete(entity_dim)
     if mention_strategy == "ac":
-        # the AC automaton is built from a driver-collected alias list; guard
-        # the collect the same way alias_component_map does (limit-probe
-        # before touching everything) — a dictionary beyond broadcast size
-        # needs the token_join strategy, which never collects
-        max_aliases = 50_000_000
+        # the AC automaton is built from a driver-collected alias list AND
+        # rebuilt per Python worker process — the binding limit is automaton
+        # memory (pure-Python trie ≈ 150 B/char × every worker), not the
+        # collect. Guard on BOTH a row probe and an exact char sum (the sum
+        # is a distributed single-scalar aggregate, safe at any dim size;
+        # it only runs once the row probe has passed). 20M chars ≈ 3 GB of
+        # automaton per process — beyond that use token_join, which never
+        # collects and streams entirely JVM-side.
+        import os as _os
+
+        max_aliases = int(_os.environ.get("BKG_AC_MAX_ALIASES", 2_000_000))
+        max_chars = int(_os.environ.get("BKG_AC_MAX_CHARS", 20_000_000))
         distinct_aliases = dim_current.select("alias").distinct()
-        if distinct_aliases.limit(max_aliases + 1).count() > max_aliases:
+        too_big = distinct_aliases.limit(max_aliases + 1).count() > max_aliases
+        if not too_big:
+            total_chars = distinct_aliases.agg(
+                F.sum(F.length("alias"))
+            ).first()[0]
+            too_big = (total_chars or 0) > max_chars
+        if too_big:
             raise ValueError(
-                "alias dictionary too large for the AC (driver-collected) "
-                "strategy; use mention_strategy='token_join'"
+                "alias dictionary too large for the AC (driver-collected, "
+                "per-worker-automaton) strategy; use "
+                "mention_strategy='token_join'"
             )
         aliases = [r["alias"] for r in distinct_aliases.collect()]
         mentions = scan_mentions(docs, aliases, id_col="url", text_col="text")

@@ -145,6 +145,70 @@ def kg_entity_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kg_golden_metrics",
+    f"""
+    WITH {_DICT_CTE},
+    links AS (
+      SELECT DISTINCT d.doc_id, t.entity_id
+      FROM documents d
+      JOIN dict t ON (' ' || d.text || ' ') LIKE ('% ' || t.alias || ' %')
+    ),
+    nodes AS (SELECT DISTINCT entity_id FROM links),
+    triples AS (
+      SELECT a.entity_id AS subj, b.entity_id AS obj,
+             CASE WHEN count(DISTINCT a.doc_id) >= 300 THEN 'high'
+                  WHEN count(DISTINCT a.doc_id) >= 150 THEN 'medium'
+                  WHEN count(DISTINCT a.doc_id) >= 50 THEN 'low'
+                  ELSE 'weak' END AS confidence
+      FROM links a JOIN links b
+        ON a.doc_id = b.doc_id AND a.entity_id < b.entity_id
+      GROUP BY a.entity_id, b.entity_id
+      HAVING count(DISTINCT a.doc_id) >= 20
+    ),
+    endpoints AS (
+      SELECT subj AS node FROM triples
+      UNION ALL SELECT obj FROM triples
+    ),
+    deg AS (SELECT node, count(*) AS degree FROM endpoints GROUP BY node),
+    ep AS (SELECT DISTINCT node FROM endpoints)
+    SELECT 'total_nodes' AS metric, CAST(count(*) AS DOUBLE) AS value
+      FROM nodes
+    UNION ALL SELECT 'total_edges', CAST(count(*) AS DOUBLE) FROM triples
+    UNION ALL SELECT 'connected_nodes', CAST(count(*) AS DOUBLE) FROM deg
+    UNION ALL SELECT 'avg_degree', round(avg(degree), 4) FROM deg
+    UNION ALL SELECT 'max_degree', CAST(max(degree) AS DOUBLE) FROM deg
+    UNION ALL SELECT 'orphan_nodes', CAST(count(*) AS DOUBLE)
+      FROM nodes WHERE entity_id NOT IN (SELECT node FROM ep)
+    UNION ALL SELECT 'dangling_endpoints', CAST(count(*) AS DOUBLE)
+      FROM ep WHERE node NOT IN (SELECT entity_id FROM nodes)
+    UNION ALL SELECT 'edges_confidence_' || confidence,
+      CAST(count(*) AS DOUBLE) FROM triples GROUP BY confidence
+    """,
+    "A2/A8/golden metrics — the full report (degree stats, orphans, "
+    "dangling endpoints, confidence tiers) as one oracled long-format "
+    "frame via plans.metrics.metrics_summary_df",
+)
+def kg_golden_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_knowledge_graph_spark.plans.metrics import (
+        metrics_summary_df,
+    )
+
+    links = _doc_links(spark, sf_dir).persist()
+    try:
+        nodes = links.select("entity_id").distinct()
+        triples = cooccurrence_edges(
+            links,
+            doc_col="doc_id",
+            ent_col="entity_id",
+            min_count=20,
+            tiers=((300, "high"), (150, "medium"), (50, "low"), (20, "weak")),
+        )
+        return metrics_summary_df(nodes, triples).localCheckpoint(eager=True)
+    finally:
+        links.unpersist()
+
+
+@register(
     "kg_triples",
     f"""
     WITH {_DICT_CTE},

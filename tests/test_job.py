@@ -117,7 +117,7 @@ def test_asof_join_matches_pandas_oracle(spark):
             assert ts_r <= left_ts
 
 
-def test_full_build_job_phases_and_resume(spark, tmp_path):
+def test_full_build_job_phases_and_resume(spark, tmp_path, monkeypatch):
     """The multi-phase orchestrator (§3.1 analogue): ontology phase commits
     term nodes + typed triples, annotation phase links pages against the
     ontology-derived dictionary, metrics/validation/report artifacts land,
@@ -159,8 +159,18 @@ def test_full_build_job_phases_and_resume(spark, tmp_path):
         rows.append((f"u{i}", f"<html><body>{body}</body></html>".encode()))
     spark.createDataFrame(rows, "url string, html binary").write.parquet(pages_path)
 
+    # the ontology is parsed ONCE per run and shared across phases
+    parse_calls = []
+    real_parse = J.read_obo_terms
+    monkeypatch.setattr(
+        J,
+        "read_obo_terms",
+        lambda *a, **kw: parse_calls.append(1) or real_parse(*a, **kw),
+    )
+
     out = str(tmp_path / "out")
     report = J.run(spark, str(obo), pages_path, out, run_id="r1", min_cooccur=2)
+    assert len(parse_calls) == 1
     assert report["phase1"]["terms"] == 3
     assert report["phase1"]["typed_triples_added"] == 2  # IS_A + PART_OF
     assert report["validation"]["passed"]

@@ -119,3 +119,17 @@ def test_pathway_reader_no_python(spark, tmp_path):
     for df in (modules, membership):
         plan = plan_of(df)
         assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_evidence_flag_matrix_input_guards(spark):
+    import pytest
+
+    from biomedical_knowledge_graph_spark.plans.metrics import (
+        evidence_flag_matrix,
+    )
+
+    ents = spark.createDataFrame([("g1",)], "gene string")
+    with pytest.raises(ValueError):
+        evidence_flag_matrix(ents, {}, key="gene")
+    with pytest.raises(ValueError):
+        evidence_flag_matrix(ents, {"bad name!": ents}, key="gene")

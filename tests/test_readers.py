@@ -77,6 +77,35 @@ def test_expression_matrix_unpivot(spark, tmp_path):
     assert rows == {("G1", "cond_a"): 1.5, ("G1", "cond_c"): -2.0, ("G2", "cond_b"): 3.25}
 
 
+def test_expression_matrix_reference_disease_format(spark, tmp_path):
+    """The reference's exact header gymnastics
+    (omics_disease_integration.py:17-27): header line 0 holds condition
+    names, line 1 is a disease-name row (pandas skiprows=[1]), the first
+    two non-key columns are metadata (iloc[:, 2:]), and a stray 'GeneSym'
+    row survived as data and must be dropped."""
+    p = tmp_path / "disease_matrix.tsv"
+    p.write_text(
+        "GeneSym\t#.1\tGEO Accession\tasthma_lung\tanemia_blood\n"
+        "\t\t\tAsthma\tAnemia\n"  # disease-name row -> skiprows=[1]
+        "GeneSym\tna\tna\tna\tna\n"  # header fragment as data
+        "TP53\tx\tGSE1\t1.5\t0\n"
+        "BRCA1\ty\tGSE2\t\t-2.25\n"
+    )
+    long_df = readers.read_expression_matrix_long(
+        spark,
+        str(p),
+        key_col="GeneSym",
+        skip_rows=[1],
+        drop_meta_cols=2,
+        drop_key_values=["GeneSym"],
+    )
+    rows = {(r.entity, r.condition): r.value for r in long_df.collect()}
+    assert rows == {
+        ("TP53", "asthma_lung"): 1.5,
+        ("BRCA1", "anemia_blood"): -2.25,
+    }
+
+
 def test_obo_stanza_parser(spark, tmp_path):
     obo = """format-version: 1.2
 
@@ -110,7 +139,7 @@ id: part_of
     assert t1.alt_ids == ["GO:0000100"]
     assert t1.is_a == ["GO:0048308"]
     t2 = all_terms["GO:0000002"]
-    assert t2.is_obsolete and t2.replaced_by == "GO:0000003"
+    assert t2.is_obsolete and t2.replaced_by == ["GO:0000003"]
     # namespace early-skip (P1)
     bp_only = readers.read_obo_terms(
         spark, str(p), namespace="biological_process"
