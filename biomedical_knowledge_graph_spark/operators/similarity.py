@@ -519,11 +519,22 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign-bucket,
     then exact cosine rank within it. At scale the bucket join replaces the
     full cross product; recall depends on n_planes (fewer planes → bigger
-    buckets → higher recall, more compute)."""
+    buckets → higher recall, more compute).
+
+    ``n_probe`` > 1 enables multi-probe (the standard sign-LSH recall
+    knob): each query additionally probes the buckets reached by flipping
+    the bits of its ``n_probe - 1`` LOWEST-MARGIN planes — a near-miss
+    neighbor differs from the query almost always on exactly the planes
+    whose dot product is closest to zero, so targeted flips recover most
+    of the recall of halving n_planes at a fraction of the candidate
+    volume. Query-side only (queries are the small side); the corpus scan
+    and bucket layout are unchanged. Deterministic: margin ties break on
+    plane index, mirrored in the DuckDB oracle."""
     cb = lsh_bucket(corpus, dim, n_planes, seed, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
@@ -534,6 +545,33 @@ def lsh_topk(
         F.col(vec_col).alias("_qv"),
         "lsh_bucket",
     )
+    if n_probe > 1:
+        planes = random_hyperplanes(dim, n_planes, seed)
+        dots = F.array(
+            *[
+                _dot(F.col("_qv"), F.array(*[F.lit(float(x)) for x in p]))
+                for p in planes
+            ]
+        )
+        # ascending (|margin|, plane idx) → first n_probe-1 planes to flip
+        flips = (
+            f"slice(transform(array_sort(transform(sequence(0, {n_planes - 1}),"
+            f" i -> named_struct('m', abs(element_at(_dots, i + 1)), 'i', i))),"
+            f" x -> x.i), 1, {n_probe - 1})"
+        )
+        probes = (
+            "concat(array(lsh_bucket), transform(_flips,"
+            " i -> lsh_bucket ^ shiftleft(cast(1 as bigint), i)))"
+        )
+        qb = (
+            qb.withColumn("_dots", dots)
+            .withColumn("_flips", F.expr(flips))
+            .select(
+                "query_id",
+                "_qv",
+                F.explode(F.expr(probes)).alias("lsh_bucket"),
+            )
+        )
     joined = cb.join(F.broadcast(qb), "lsh_bucket").filter(
         F.col("query_id") != F.col("neighbor_id")
     )

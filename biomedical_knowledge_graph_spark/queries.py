@@ -630,28 +630,51 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_topk_oracle(dim: int = 64, n_planes: int = 8, seed: int = 13) -> str:
+def _lsh_topk_oracle(
+    dim: int = 64, n_planes: int = 8, seed: int = 13, n_probe: int = 1
+) -> str:
     """DuckDB replica of the sign-LSH bucket + in-bucket exact top-k: the
     SAME hyperplanes the Spark plan uses, embedded as double literals (repr
     round-trips exactly), so the oracle computes identical buckets —
     approximate ANN becomes deterministically checkable. Bit-flip risk only
     where a plane dot is within fp-noise of 0 (~1e-15 against O(1)
-    magnitudes): negligible."""
+    magnitudes): negligible.
+
+    ``n_probe`` > 1 replicates the multi-probe construction too: the
+    per-plane dot list is materialized, the n_probe-1 lowest-|margin|
+    planes are ranked (ties on plane index, identical to Spark's
+    array_sort tie-break), and each query probes its own bucket plus the
+    bit-flipped ones."""
     from biomedical_knowledge_graph_spark.operators.similarity import (
         random_hyperplanes,
     )
 
     planes = random_hyperplanes(dim, n_planes, seed)
-    bits = []
+    bits, dot_exprs = [], []
     for i, plane in enumerate(planes):
         lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
         dot = (
             f"list_sum(list_transform(range(1, {dim + 1}),"
             f" j -> embedding[j]::DOUBLE * ({lit})[j]))"
         )
+        dot_exprs.append(dot)
         bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
     bucket = " + ".join(bits)
-    return f"""
+    dots_list = "[" + ", ".join(dot_exprs) + "]"
+    score = (
+        f"round(list_sum(list_transform(range(1, {dim + 1}),"
+        f" i -> q.embedding[i]::DOUBLE * c.embedding[i]))"
+        f" / (q.nrm * c.nrm), 6)"
+    )
+    topk = """
+    SELECT query_id, neighbor_id, rank, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+    if n_probe <= 1:
+        return f"""
     WITH n AS (
       SELECT vec_id, embedding,
              sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x)))
@@ -661,17 +684,46 @@ def _lsh_topk_oracle(dim: int = 64, n_planes: int = 8, seed: int = 13) -> str:
     ),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             round(list_sum(list_transform(range(1, {dim + 1}),
-                     i -> q.embedding[i]::DOUBLE * c.embedding[i]))
-                   / (q.nrm * c.nrm), 6) AS score
+             {score} AS score
       FROM n q JOIN n c ON q.vec_id < 10 AND q.bucket = c.bucket
                         AND c.vec_id != q.vec_id
     )
-    SELECT query_id, neighbor_id, rank, score FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                 ORDER BY score DESC, neighbor_id) AS rank
-      FROM scored
-    ) WHERE rank <= 5
+    {topk}
+    """
+    return f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x)))
+               AS nrm,
+             ({bucket}) AS bucket,
+             {dots_list} AS dots
+      FROM embeddings
+    ),
+    nq AS (SELECT * FROM n WHERE vec_id < 10),
+    flips AS (
+      SELECT vec_id, i - 1 AS i FROM (
+        SELECT nq.vec_id, t.i,
+               row_number() OVER (
+                 PARTITION BY nq.vec_id
+                 ORDER BY abs(nq.dots[t.i]), t.i
+               ) AS rn
+        FROM nq, range(1, {n_planes + 1}) t(i)
+      ) WHERE rn <= {n_probe - 1}
+    ),
+    probes AS (
+      SELECT vec_id, bucket AS pbucket FROM nq
+      UNION ALL
+      SELECT f.vec_id, xor(nq.bucket, (1::BIGINT << f.i))
+      FROM flips f JOIN nq ON f.vec_id = nq.vec_id
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {score} AS score
+      FROM probes p
+      JOIN nq q ON p.vec_id = q.vec_id
+      JOIN n c ON c.bucket = p.pbucket AND c.vec_id != q.vec_id
+    )
+    {topk}
     """
 
 
@@ -688,6 +740,22 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.lsh_topk(emb, queries_df, dim=64, k=5, n_planes=8).withColumn(
         "rank", F.col("rank").cast("long")
     )
+
+
+@register(
+    "ann_lsh_multiprobe_topk",
+    _lsh_topk_oracle(n_probe=3),
+    "ANN scale path — multi-probe sign-LSH top-k: each query also probes "
+    "the buckets of its 2 lowest-margin plane flips (the near-miss "
+    "neighbors' buckets); oracle replicates planes, margins, tie-breaks "
+    "and probe set literally",
+)
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return _sim.lsh_topk(
+        emb, queries_df, dim=64, k=5, n_planes=8, n_probe=3
+    ).withColumn("rank", F.col("rank").cast("long"))
 
 
 _IVF_CENTROID_IDS = [0, 50, 100, 150, 200, 250, 300, 350]

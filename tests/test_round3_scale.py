@@ -226,3 +226,29 @@ def test_ivf_sampled_recall_vs_exact(spark):
     assert r3 >= 0.6, (r1, r2, r3)
     cents.unpersist()
     emb.unpersist()
+
+
+def test_lsh_multiprobe_recall_curve(spark):
+    from biomedical_knowledge_graph_spark.sources.testdata import load
+    from pyspark.sql import functions as F
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings").persist()
+    queries = emb.filter(F.col("vec_id") < 10)
+    ex = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(n_probe):
+        ap = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.lsh_topk(
+                emb, queries, dim=64, k=5, n_planes=8, n_probe=n_probe
+            ).collect()
+        }
+        return len(ex & ap) / len(ex)
+
+    r1, r3 = recall(1), recall(3)
+    # targeted low-margin flips must strictly add recall on this corpus
+    assert r3 > r1, (r1, r3)
+    emb.unpersist()
