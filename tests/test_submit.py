@@ -1,0 +1,109 @@
+"""North-rule launch mode: `spark-submit --py-files <zip>` on a
+multi-executor master.
+
+The zip path is the real risk surface (executors must import the package
+from the shipped archive, not the repo checkout), so this runs the full
+multi-phase job via actual spark-submit on local-cluster — one worker JVM,
+separate from the driver — with the repo dir ABSENT from the child's
+PYTHONPATH."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+
+def _spark_submit() -> str | None:
+    cand = shutil.which("spark-submit")
+    if cand:
+        return cand
+    try:
+        import pyspark
+
+        cand = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+        return cand if os.path.exists(cand) else None
+    except ImportError:  # pragma: no cover
+        return None
+
+
+def test_spark_submit_pyfiles_full_build(spark, tmp_path):
+    submit = _spark_submit()
+    if submit is None:  # pragma: no cover - environment-dependent
+        import pytest
+
+        pytest.skip("spark-submit not available")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from make_pyfiles_zip import build
+
+    zip_path = build(str(tmp_path / "bkg.zip"))
+
+    obo = tmp_path / "go.obo"
+    obo.write_text(
+        "format-version: 1.2\n\n"
+        "[Term]\nid: T:1\nname: alpha kinase\nnamespace: biological_process\n"
+        'synonym: "alpha enzyme" EXACT []\nis_a: T:3 ! parent\n\n'
+        "[Term]\nid: T:2\nname: beta channel\nnamespace: biological_process\n"
+        "relationship: part_of T:3\n\n"
+        "[Term]\nid: T:3\nname: parent process\nnamespace: biological_process\n"
+    )
+    pages_path = str(tmp_path / "pages")
+    rows = [
+        (
+            f"u{i}",
+            (
+                "<html><body>alpha kinase binds beta channel strongly</body></html>"
+                if i % 2
+                else "<html><body>alpha enzyme alone</body></html>"
+            ).encode(),
+        )
+        for i in range(30)
+    ]
+    spark.createDataFrame(rows, "url string, html binary").write.parquet(pages_path)
+
+    # the job script is shipped standalone; the package comes ONLY from the zip
+    job_src = os.path.join(
+        repo, "biomedical_knowledge_graph_spark", "jobs", "full_build_job.py"
+    )
+    job_copy = tmp_path / "entry_job.py"
+    shutil.copyfile(job_src, job_copy)
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    out_root = str(tmp_path / "out")
+    proc = subprocess.run(
+        [
+            submit,
+            "--master",
+            "local-cluster[1,2,2048]",
+            "--conf",
+            "spark.executor.memory=2g",
+            "--conf",
+            "spark.driver.memory=4g",
+            "--conf",
+            "spark.ui.enabled=false",
+            "--py-files",
+            zip_path,
+            str(job_copy),
+            "--obo",
+            str(obo),
+            "--pages",
+            pages_path,
+            "--out",
+            out_root,
+            "--run-id",
+            "submit-test",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=str(tmp_path),
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["total_nodes"] == 3 and summary["total_edges"] == 3
+    assert os.path.exists(os.path.join(out_root, "metrics-submit-test.json"))
