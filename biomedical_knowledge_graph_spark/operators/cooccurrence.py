@@ -47,7 +47,7 @@ def cooccurrence_edges(
     tiers=DEFAULT_TIERS,
     max_entities_per_doc: int | None = None,
     pair_parallelism: int | str | None = "auto",
-    encode_ids: bool = True,
+    encode_ids: bool = False,
 ) -> DataFrame:
     """links(doc, entity, ...) → edges(subj, obj, shared_docs, confidence)
     with subj < obj (undirected canonical form).
@@ -61,6 +61,10 @@ def cooccurrence_edges(
     count(distinct hashes)) guards the encoding — on a collision (odds
     ~n²/2⁶⁵) it falls back to raw strings; the decode re-canonicalizes
     subj < obj in STRING order, so output is byte-identical either way.
+    The probe is an ACTION — it re-runs everything upstream of ``links``
+    once — so encoding defaults OFF and is opted into by callers whose
+    links are persisted (the production pipeline), where the probe costs
+    one cached scan.
 
     ``pair_parallelism``: partition count for the pair-explosion stage.
     The per-doc entity arrays are SMALL in bytes but explode ~k²/2 pair

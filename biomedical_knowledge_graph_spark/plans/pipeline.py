@@ -206,13 +206,16 @@ def build_kg(
         F.countDistinct("doc_id").alias("doc_count"),
     )
 
-    # ⑥ co-occurrence triples
+    # ⑥ co-occurrence triples — hash-encoded pair keys are safe to opt
+    # into here because `links` is persisted above, so the encoder's
+    # injectivity probe costs one cached scan, not a pipeline re-run
     co = cooccurrence_edges(
         links,
         doc_col="doc_id",
         ent_col="entity_id",
         min_count=min_cooccur,
         max_entities_per_doc=max_entities_per_doc,
+        encode_ids=cache_links and max_entities_per_doc is None,
     )
     triples = co.select(
         F.col("subj"),

@@ -194,17 +194,23 @@ def kg_golden_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     links = _doc_links(spark, sf_dir).persist()
+    # the summary unions EIGHT aggregate branches over nodes/triples —
+    # persist both (and eager-checkpoint the tiny result) or each branch
+    # re-runs the scan+link+pair DAG
+    nodes = links.select("entity_id").distinct().persist()
+    triples = cooccurrence_edges(
+        links,
+        doc_col="doc_id",
+        ent_col="entity_id",
+        min_count=20,
+        tiers=((300, "high"), (150, "medium"), (50, "low"), (20, "weak")),
+        encode_ids=True,  # links is persisted: the probe is one cached scan
+    ).persist()
     try:
-        nodes = links.select("entity_id").distinct()
-        triples = cooccurrence_edges(
-            links,
-            doc_col="doc_id",
-            ent_col="entity_id",
-            min_count=20,
-            tiers=((300, "high"), (150, "medium"), (50, "low"), (20, "weak")),
-        )
         return metrics_summary_df(nodes, triples).localCheckpoint(eager=True)
     finally:
+        triples.unpersist()
+        nodes.unpersist()
         links.unpersist()
 
 
