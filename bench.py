@@ -171,6 +171,9 @@ def _deltas_vs_previous_round(
             prev = json.load(f)
     except (OSError, json.JSONDecodeError):
         return None
+    if isinstance(prev.get("parsed"), dict):
+        # the driver's BENCH_r*.json wraps the bench line under "parsed"
+        prev = prev["parsed"]
     if prev.get("sf") != sf_val:
         return None  # cross-SF ratios are meaningless
     prev_q = prev.get("queries") or {}
