@@ -175,6 +175,12 @@ class SnapshotTable:
         zero new rows."""
         spark = df.sparkSession
         t0 = time.time()
+        reserved = {"_snap", "_bucket"} & set(df.columns)
+        if reserved:
+            raise ValueError(
+                f"staged columns {sorted(reserved)} collide with the "
+                "sink's reserved partition columns"
+            )
         staged = df.dropDuplicates(self.key_cols)
         part_cols = list(self.partition_cols)
         staged_buckets = None

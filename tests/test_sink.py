@@ -155,3 +155,13 @@ def test_compaction_bounds_snapshot_count(spark, tmp_path):
     # replay after compaction still dedups
     r = t.merge_append(_df(spark, [("c0s0", "o0", 0)]))
     assert r["rows_added"] == 0
+
+
+def test_reserved_columns_rejected(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "rc"), key_cols=["subj", "obj"])
+    bad = _df(spark, [("a", "b", 1)]).withColumn("_bucket", F.lit(1))
+    with pytest.raises(ValueError, match="reserved"):
+        t.merge_append(bad)
