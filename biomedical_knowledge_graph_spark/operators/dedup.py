@@ -232,6 +232,79 @@ def minhash_signatures_jvm(
     )
 
 
+def minhash_signatures_oph(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 128,
+    seed: int = 7,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """(id, signature array<long>) via densified ONE-PERMUTATION hashing
+    (Li/Owen/Zhang OPH + Shrivastava-Li rotation densification).
+
+    Classic k-hash MinHash pays k universal-hash evaluations per shingle —
+    either 125 aggregate expressions per row (the "jvm" impl: measured
+    4.4 s at sf0.1) or a collect_list that ships EVERY shingle hash
+    through the shuffle (the "arrow" impl). OPH hashes each shingle ONCE:
+    the hash's high bits pick one of k bins, its low bits are the value,
+    and the signature is the per-(doc, bin) MIN — one map-side-combinable
+    aggregate whose shuffle carries at most k partial mins per (doc,
+    map-partition), then one dim-sized compaction. Empty bins (docs with
+    few shingles) are filled by cyclic rotation borrowing from the next
+    filled bin, offsetting the borrowed value by the distance so borrowed
+    slots don't manufacture band collisions; the tiny densification step
+    runs in one Arrow batch over doc-sized rows (k-length arrays).
+
+    Banding/verification are unchanged — candidates still exact-verified,
+    so output pairs are exact regardless of the sketch's variance profile
+    (slightly higher per-band variance than independent hashes, standard
+    for OPH)."""
+    k = num_hashes
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_sets(df, id_col, text_col, n)
+    ).withColumn("_h", F.xxhash64("shingle", F.lit(seed)))
+    binned = sh.select(
+        id_col,
+        F.pmod(F.shiftrightunsigned("_h", 32), F.lit(k)).alias("_bin"),
+        F.col("_h").bitwiseAND(F.lit((1 << 32) - 1)).alias("_v"),
+    )
+    mins = binned.groupBy(id_col, "_bin").agg(F.min("_v").alias("_mv"))
+    compact = mins.groupBy(id_col).agg(
+        F.collect_list(F.struct("_bin", "_mv")).alias("_bm")
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def densify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, bm in zip(pdf[id_col].values, pdf["_bm"].values):
+                dense = np.full(k, -1, dtype=np.int64)
+                for e in bm:
+                    dense[e["_bin"]] = e["_mv"]
+                empty = np.where(dense < 0)[0]
+                if len(empty):
+                    # rotation densification: borrow from the next filled
+                    # bin (cyclic), offset by the travel distance so two
+                    # docs sharing a source bin but differing in which
+                    # bins are empty don't collide spuriously
+                    filled = np.where(dense >= 0)[0]
+                    for j in empty:
+                        d = (filled - j) % k
+                        src = filled[np.argmin(d)]
+                        dense[j] = dense[src] + int((src - j) % k)
+                ids.append(doc_id)
+                sigs.append(dense)
+            yield pd.DataFrame({id_col: ids, "signature": sigs})
+
+    return compact.mapInPandas(
+        densify, schema=f"{id_col} {id_type}, signature array<bigint>"
+    )
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -288,16 +361,27 @@ def minhash_dedup_pairs(
     (J ≥ t ⇒ min(sz)/max(sz) ≥ t) prunes candidates before the
     array-intersect verification.
 
-    ``signature_impl``: "jvm" (default; map-side-combinable MIN aggregates
-    — no collect_list, no Python round-trip: the smaller-shuffle choice on
-    a real cluster) or "arrow" (numpy over collect_list'd hashes). Both
-    are parity-tested; the env var BKG_MINHASH_IMPL overrides the default
-    for A/B benching without code changes."""
+    ``signature_impl`` — no variant dominates; the decision rule is the
+    shingles-per-doc : num_hashes ratio (all three measured at sf0.1,
+    tools/bench_minhash_variants.py; all exact after verification):
+    - "jvm" (default): k universal hashes as k MIN aggregates — ONE wide
+      partial row per (doc, map-partition) through the shuffle (5.0 MB),
+      k expressions per shingle row of compute (4.4 s signature stage).
+      Smallest shuffle when docs are small (shingles/doc ≲ k).
+    - "oph": densified one-permutation hashing — one hash per shingle,
+      per-(doc, bin) MIN rows (2.6× less compute: 1.7 s) but k SMALL
+      partial rows per doc (23.7 MB here). Wins BOTH compute and shuffle
+      when shingles/doc ≫ k (long documents — the web-corpus case).
+    - "arrow": every shingle hash collect_list'd through the shuffle
+      (9.3 MB), numpy signature math (0.9 s). Best wall on one box,
+      worst shuffle growth with doc size.
+    Env BKG_MINHASH_IMPL overrides for A/B benching without code
+    changes."""
     import os
 
     if signature_impl is None:
         signature_impl = os.environ.get("BKG_MINHASH_IMPL", "jvm")
-    if signature_impl not in ("jvm", "arrow"):
+    if signature_impl not in ("jvm", "arrow", "oph"):
         raise ValueError(f"unknown signature_impl {signature_impl!r}")
     # one shingle scan feeds both the signatures and the exact verify
     sh = shingle_sets(df, id_col, text_col, n).persist()
@@ -326,9 +410,11 @@ def _minhash_dedup_pairs_impl(
     n: int,
     signature_impl: str = "jvm",
 ) -> DataFrame:
-    sign_fn = (
-        minhash_signatures_jvm if signature_impl == "jvm" else minhash_signatures
-    )
+    sign_fn = {
+        "jvm": minhash_signatures_jvm,
+        "arrow": minhash_signatures,
+        "oph": minhash_signatures_oph,
+    }[signature_impl]
     cands = minhash_lsh_candidates(
         sign_fn(df, id_col, text_col, n, num_hashes, seed, shingles=sh),
         id_col,

@@ -116,20 +116,36 @@ def test_minhash_jvm_signature_parity(spark):
          for i in range(40)],
         "doc_id long, text string",
     )
-    base = {
-        (r.id_a, r.id_b, r.jaccard)
-        for r in d.minhash_dedup_pairs(
-            docs, threshold=0.8, signature_impl="arrow"
-        ).collect()
+    outs = {
+        impl: {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in d.minhash_dedup_pairs(
+                docs, threshold=0.8, signature_impl=impl
+            ).collect()
+        }
+        for impl in ("arrow", "jvm", "oph")
     }
-    jvm = {
-        (r.id_a, r.id_b, r.jaccard)
-        for r in d.minhash_dedup_pairs(
-            docs, threshold=0.8, signature_impl="jvm"
-        ).collect()
-    }
-    assert base == jvm and base  # identical non-empty verified pairs
+    # identical non-empty verified pairs from all three signature impls
+    assert outs["arrow"] == outs["jvm"] == outs["oph"] and outs["arrow"]
     import pytest
 
     with pytest.raises(ValueError):
         d.minhash_dedup_pairs(docs, signature_impl="nope")
+
+
+def test_oph_signatures_dense_and_deterministic(spark):
+    from biomedical_knowledge_graph_spark.operators import dedup as d
+
+    docs = spark.createDataFrame(
+        [(0, "tiny doc"), (1, "a" * 200), (2, "the quick brown fox " * 10)],
+        "doc_id long, text string",
+    )
+    s1 = {r.doc_id: tuple(r.signature) for r in d.minhash_signatures_oph(docs).collect()}
+    s2 = {r.doc_id: tuple(r.signature) for r in d.minhash_signatures_oph(docs).collect()}
+    assert s1 == s2  # deterministic
+    for sig in s1.values():
+        assert len(sig) == 128
+        assert all(v >= 0 for v in sig)  # densification filled every bin
+    # doc 1 is a single repeated char: exactly ONE distinct shingle ->
+    # one filled bin, 127 borrowed — the extreme densification case
+    assert 1 in s1

@@ -61,7 +61,7 @@ def run(impl: str, sf_dir: str, reps: int) -> dict:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    for impl in ("jvm", "arrow"):
+    for impl in ("oph", "jvm", "arrow"):
         print(json.dumps(run(impl, sf_dir, reps)))
 
 
