@@ -361,20 +361,20 @@ def minhash_dedup_pairs(
     (J ≥ t ⇒ min(sz)/max(sz) ≥ t) prunes candidates before the
     array-intersect verification.
 
-    ``signature_impl`` — no variant dominates; the decision rule is the
-    shingles-per-doc : num_hashes ratio (all three measured at sf0.1,
-    tools/bench_minhash_variants.py; all exact after verification):
+    ``signature_impl`` — no variant dominates; measured on short- AND
+    long-doc corpora (tools/bench_minhash_variants.py + BENCH.md app. 2;
+    all exact after verification):
     - "jvm" (default): k universal hashes as k MIN aggregates — ONE wide
-      partial row per (doc, map-partition) through the shuffle (5.0 MB),
-      k expressions per shingle row of compute (4.4 s signature stage).
-      Smallest shuffle when docs are small (shingles/doc ≲ k).
+      partial row (k longs) per (doc, map-partition): the smallest
+      shuffle in every regime, independent of doc length; pays k
+      expressions per shingle row of compute (2-2.6× the others).
     - "oph": densified one-permutation hashing — one hash per shingle,
-      per-(doc, bin) MIN rows (2.6× less compute: 1.7 s) but k SMALL
-      partial rows per doc (23.7 MB here). Wins BOTH compute and shuffle
-      when shingles/doc ≫ k (long documents — the web-corpus case).
-    - "arrow": every shingle hash collect_list'd through the shuffle
-      (9.3 MB), numpy signature math (0.9 s). Best wall on one box,
-      worst shuffle growth with doc size.
+      per-(doc, bin) MIN rows: compute on par with arrow, shuffle
+      doc-length-independent but ~5× jvm's bytes (k small keyed rows per
+      doc) — the pick when the cluster is compute-bound.
+    - "arrow": every shingle hash collect_list'd through the shuffle —
+      cheapest compute, shuffle grows LINEARLY with doc length: fine on
+      one box, first casualty on a network.
     Env BKG_MINHASH_IMPL overrides for A/B benching without code
     changes."""
     import os
