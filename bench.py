@@ -129,6 +129,13 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     deltas = _deltas_vs_previous_round(timings, sf_val)
+    # the full per-query delta detail goes on its OWN line, printed BEFORE
+    # the contract line: the driver tail-captures a bounded window and
+    # parses the final line, and r3's inline deltas pushed that line past
+    # the window (BENCH_r03.json parsed: null). The final line keeps only
+    # a compact regressions summary.
+    if deltas is not None:
+        print(json.dumps({"bench_deltas": deltas}))
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -145,7 +152,10 @@ def main() -> None:
         },
     }
     if deltas is not None:
-        out["deltas"] = deltas
+        out["regressions"] = {
+            "vs": deltas["baseline_file"],
+            "names": deltas["regressions"],
+        }
     print(json.dumps(out))
 
 
@@ -159,10 +169,19 @@ def _deltas_vs_previous_round(
     reader. BKG_PREV_BENCH overrides the baseline file."""
     import glob
 
+    import re
+
     prev_path = os.environ.get("BKG_PREV_BENCH")
     if not prev_path:
         here = os.path.dirname(os.path.abspath(__file__))
-        cands = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+        # sort by the NUMERIC round — lexicographic puts r10 before r9
+        def _round_no(p: str) -> int:
+            m = re.search(r"BENCH_r(\d+)\.json$", p)
+            return int(m.group(1)) if m else -1
+
+        cands = sorted(
+            glob.glob(os.path.join(here, "BENCH_r*.json")), key=_round_no
+        )
         prev_path = cands[-1] if cands else None
     if not prev_path or not os.path.exists(prev_path):
         return None

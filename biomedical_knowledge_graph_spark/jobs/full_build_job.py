@@ -92,8 +92,11 @@ def alias_dim_from_terms(terms) -> "object":
         F.coalesce(F.col("namespace"), F.lit("unknown")).alias("namespace"),
         "is_obsolete",
         # the parsed terms carry ALL replaced_by values (array, reference
-        # parity); the linking remap contract wants one target — first
-        F.element_at(F.col("replaced_by"), 1).alias("replaced_by"),
+        # parity); the linking remap contract wants one target — first.
+        # try_element_at: the parser defaults replaced_by to [] (obsolete
+        # terms without a replacement are the norm in real GO), and ANSI
+        # element_at throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT on empty.
+        F.try_element_at(F.col("replaced_by"), F.lit(1)).alias("replaced_by"),
     ).filter(F.col("alias").isNotNull())
     synonyms = (
         terms.select(
@@ -110,7 +113,7 @@ def alias_dim_from_terms(terms) -> "object":
             F.lit("term").alias("entity_type"),
             F.coalesce(F.col("namespace"), F.lit("unknown")).alias("namespace"),
             "is_obsolete",
-            F.element_at(F.col("replaced_by"), 1).alias("replaced_by"),
+            F.try_element_at(F.col("replaced_by"), F.lit(1)).alias("replaced_by"),
         )
     )
     return names.unionByName(synonyms)

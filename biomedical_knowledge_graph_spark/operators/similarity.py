@@ -427,9 +427,10 @@ def ivf_topk_from_centroids(
     probes its ``n_probe`` nearest cells (multi-probe — the standard IVF
     recall knob: candidate volume grows linearly in n_probe while recall
     climbs steeply, since missed true neighbors overwhelmingly sit in the
-    query's second/third cell). Candidates are exact-cosine ranked; the
-    distinct() guards double-counting when a neighbor's cell is probed
-    once only (it can't be probed twice — corpus rows have one cell)."""
+    query's second/third cell). Candidates are exact-cosine ranked; no
+    dedup step is needed because each corpus vector lives in exactly one
+    cell, so a (query, neighbor) pair can be generated by at most one
+    probed cell."""
     cents = centroids.persist()
     try:
         c_cells = ivf_assign(corpus, cents, id_col, vec_col, round_to).select(

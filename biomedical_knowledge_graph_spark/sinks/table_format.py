@@ -163,7 +163,15 @@ class SnapshotTable:
             and "_bucket" in existing.columns
             and len(staged_buckets) <= _MAX_PRUNE_BUCKETS
         ):
-            existing = existing.filter(F.col("_bucket").isin(staged_buckets))
+            # A caller-supplied bucket_expr may yield NULL; `isin([None,...])`
+            # never matches the NULL-bucket partition under three-valued
+            # logic, which would let duplicates in that bucket bypass the
+            # anti-join. Add an explicit IS NULL disjunct for that case.
+            non_null = [b for b in staged_buckets if b is not None]
+            pred = F.col("_bucket").isin(non_null) if non_null else F.lit(False)
+            if len(non_null) < len(staged_buckets):
+                pred = pred | F.col("_bucket").isNull()
+            existing = existing.filter(pred)
         return existing
 
     def merge_append(self, df: DataFrame, run_id: str | None = None) -> dict:

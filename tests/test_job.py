@@ -149,6 +149,14 @@ def test_full_build_job_phases_and_resume(spark, tmp_path, monkeypatch):
                 "name: parent process",
                 "namespace: biological_process",
                 "",
+                # obsolete WITHOUT replaced_by — the norm in real GO files;
+                # ANSI element_at([], 1) used to crash phase 2 here (ADVICE r3)
+                "[Term]",
+                "id: T:4",
+                "name: retired process",
+                "namespace: biological_process",
+                "is_obsolete: true",
+                "",
             ]
         )
     )
@@ -171,7 +179,7 @@ def test_full_build_job_phases_and_resume(spark, tmp_path, monkeypatch):
     out = str(tmp_path / "out")
     report = J.run(spark, str(obo), pages_path, out, run_id="r1", min_cooccur=2)
     assert len(parse_calls) == 1
-    assert report["phase1"]["terms"] == 3
+    assert report["phase1"]["terms"] == 4
     assert report["phase1"]["typed_triples_added"] == 2  # IS_A + PART_OF
     assert report["validation"]["passed"]
     from biomedical_knowledge_graph_spark.sinks.table_format import (
@@ -192,3 +200,43 @@ def test_full_build_job_phases_and_resume(spark, tmp_path, monkeypatch):
     total_after = triples_tbl.count(spark)
     assert total_after == total_before  # exact no-op replay
     assert report2["phase1"]["typed_triples_added"] == 0
+
+
+def test_alias_dim_obsolete_without_replaced_by(spark, tmp_path):
+    """ANSI regression (ADVICE r3 high): an obsolete term with NO
+    replaced_by (parser default []) must yield a NULL replaced_by in the
+    alias dim, not INVALID_ARRAY_INDEX_IN_ELEMENT_AT."""
+    from biomedical_knowledge_graph_spark.jobs import full_build_job as J
+    from biomedical_knowledge_graph_spark.sources.readers import read_obo_terms
+
+    obo = tmp_path / "obsolete.obo"
+    obo.write_text(
+        "\n".join(
+            [
+                "format-version: 1.2",
+                "",
+                "[Term]",
+                "id: X:1",
+                "name: gone without successor",
+                'synonym: "gone alias" EXACT []',
+                "is_obsolete: true",
+                "",
+                "[Term]",
+                "id: X:2",
+                "name: gone with successor",
+                "is_obsolete: true",
+                "replaced_by: X:3",
+                "",
+                "[Term]",
+                "id: X:3",
+                "name: live term",
+                "",
+            ]
+        )
+    )
+    dim = J.alias_dim_from_terms(read_obo_terms(spark, str(obo)))
+    rows = {r.alias: r for r in dim.collect()}  # would raise pre-fix
+    assert rows["gone without successor"].replaced_by is None
+    assert rows["gone alias"].replaced_by is None
+    assert rows["gone with successor"].replaced_by == "X:3"
+    assert rows["live term"].replaced_by is None

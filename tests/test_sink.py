@@ -165,3 +165,35 @@ def test_reserved_columns_rejected(spark, tmp_path):
     bad = _df(spark, [("a", "b", 1)]).withColumn("_bucket", F.lit(1))
     with pytest.raises(ValueError, match="reserved"):
         t.merge_append(bad)
+
+
+def test_merge_null_bucket_still_deduplicates(spark, tmp_path):
+    """ADVICE r3: a bucket_expr that yields NULL for some keys must not let
+    duplicates in the NULL bucket bypass the anti-join — isin([None]) never
+    matches NULL under three-valued logic, so the prune needs an explicit
+    IS NULL disjunct."""
+    t = SnapshotTable(
+        str(tmp_path / "nb"),
+        key_cols=["subj", "obj"],
+        # NULL bucket for subjects starting with 'n', real buckets otherwise
+        bucket_expr=(
+            "CASE WHEN subj LIKE 'n%' THEN CAST(NULL AS INT) "
+            "ELSE CAST(pmod(xxhash64(subj), 4) AS INT) END"
+        ),
+    )
+    r1 = t.merge_append(
+        _df(spark, [("null_key", "o1", 1), ("solid", "o2", 2)]), run_id="r1"
+    )
+    assert r1["rows_added"] == 2
+    # replay: BOTH rows must anti-join away, including the NULL-bucket one
+    r2 = t.merge_append(
+        _df(spark, [("null_key", "o1", 9), ("solid", "o2", 9)]), run_id="r2"
+    )
+    assert r2["rows_added"] == 0
+    # all-NULL staged batch: still dedups
+    r3 = t.merge_append(_df(spark, [("null_key", "o1", 5)]), run_id="r3")
+    assert r3["rows_added"] == 0
+    # a fresh NULL-bucket key lands exactly once
+    r4 = t.merge_append(_df(spark, [("null_two", "o9", 7)]), run_id="r4")
+    assert r4["rows_added"] == 1
+    t.assert_unique_keys(spark)
