@@ -20,6 +20,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import re
 from collections import deque
 from collections.abc import Iterable, Iterator
 
@@ -88,6 +89,88 @@ class AhoCorasick:
         return hits
 
 
+class RegexTrieScanner:
+    """C-speed dictionary scan: the pattern set compiled as a TRIE-shaped
+    ``re`` alternation inside a zero-width lookahead, so the per-position
+    trie walk runs in the C regex engine (round-4, VERDICT r3 item 3 — the
+    pure-Python AC char loop was the last interpreted hot path).
+
+    Semantics are EXACTLY ``AhoCorasick.find_all`` + ``_word_bounded``:
+
+    - ``(?=(TRIE)...)`` is zero-width, so the engine attempts a match at
+      every position — overlapping occurrences (e.g. "kinase" inside an
+      earlier "alpha kinase" match) are found, unlike plain finditer;
+    - within one start position all matching patterns form a PREFIX CHAIN
+      (each is a prefix of the text at that position), so capturing the
+      longest (boundary-valid) one and expanding its precomputed
+      prefix-patterns reproduces the full AC hit set;
+    - trie alternatives are emitted children-first / empty-suffix-LAST, so
+      backtracking yields the longest (boundary-valid) alternative first;
+    - boundary parity: AC rejects a hit when the char before ``start`` or
+      at ``end`` is a word char (``str.isalnum()`` or ``_``). Python's
+      ``\\w`` is documented as exactly alphanumeric-per-``isalnum`` plus
+      underscore, so ``(?<!\\w)`` / ``(?!\\w)`` match ``_word_bounded``
+      for every pattern, including ones starting or ending with non-word
+      chars (where ``\\b`` would differ). Pinned by the Hypothesis
+      equivalence test in tests/test_properties.py.
+    """
+
+    def __init__(self, patterns: Iterable[str], word_boundary: bool = True) -> None:
+        pats = sorted(set(p for p in patterns if p))
+        self.word_boundary = word_boundary
+        pat_set = set(pats)
+        # proper prefixes of each pattern that are themselves patterns
+        self._prefixes: dict[str, tuple[str, ...]] = {}
+        for p in pats:
+            pre = tuple(p[:k] for k in range(1, len(p)) if p[:k] in pat_set)
+            if pre:
+                self._prefixes[p] = pre
+        trie = self._trie_source(pats)
+        if word_boundary:
+            self._rx = re.compile(rf"(?<!\w)(?=({trie})(?!\w))")
+        else:
+            self._rx = re.compile(rf"(?=({trie}))")
+
+    @staticmethod
+    def _trie_source(pats: list[str]) -> str:
+        root: dict = {}
+        for p in pats:
+            node = root
+            for ch in p:
+                node = node.setdefault(ch, {})
+            node[None] = True  # terminal
+
+        def emit(node: dict) -> str:
+            alts = [
+                re.escape(ch) + emit(child)
+                for ch, child in node.items()
+                if ch is not None
+            ]
+            body = "|".join(alts)
+            if None in node:  # terminal: empty alternative LAST → longest-first
+                return f"(?:{body}|)" if alts else ""
+            return f"(?:{body})" if len(alts) > 1 else body
+
+        return emit(root)
+
+    def find_all(self, text: str) -> list[tuple[int, int, str]]:
+        """All (start, end, pattern) hits, boundary already applied."""
+        hits: list[tuple[int, int, str]] = []
+        prefixes = self._prefixes
+        bounded = self.word_boundary
+        n = len(text)
+        for m in self._rx.finditer(text):
+            pat = m.group(1)
+            s = m.start()
+            hits.append((s, s + len(pat), pat))
+            for q in prefixes.get(pat, ()):
+                e = s + len(q)
+                # start boundary already holds (same s); check end only
+                if not bounded or e >= n or not _is_word_char(text[e]):
+                    hits.append((s, e, q))
+        return hits
+
+
 def _is_word_char(ch: str) -> bool:
     return ch.isalnum() or ch == "_"
 
@@ -100,7 +183,7 @@ def _word_bounded(text: str, start: int, end: int) -> bool:
     return True
 
 
-_AUTOMATON_CACHE: dict[tuple, AhoCorasick] = {}
+_AUTOMATON_CACHE: dict[tuple, object] = {}
 
 
 def scan_mentions(
@@ -109,13 +192,21 @@ def scan_mentions(
     id_col: str = "doc_id",
     text_col: str = "text",
     word_boundary: bool = True,
+    engine: str = "regex",
 ) -> DataFrame:
     """docs(id, text, ...) → mentions(id, surface, begin, end).
 
     Matching is case-insensitive (aliases are lowered; text is lowered for
     matching, offsets refer to the original text). ``begin``/``end`` are
     [start, end) character offsets.
+
+    ``engine``: ``"regex"`` (default) runs the trie-compiled C-speed
+    scanner (RegexTrieScanner); ``"ac"`` keeps the pure-Python automaton.
+    Outputs are identical (Hypothesis-pinned); regex is ~an order of
+    magnitude faster per worker, so it is the corpus-scale default.
     """
+    if engine not in ("regex", "ac"):
+        raise ValueError(f"unknown scan engine {engine!r}")
     spark = docs.sparkSession
     id_field = docs.schema[id_col]
     bc = spark.sparkContext.broadcast(sorted({a.lower() for a in aliases if a}))
@@ -127,11 +218,22 @@ def scan_mentions(
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         v = bc.value
         # content-derived key: id() may be recycled across broadcasts
-        key = (len(v), v[0] if v else "", v[-1] if v else "", hash(tuple(v[::97])))
-        ac = _AUTOMATON_CACHE.get(key)
-        if ac is None:
-            ac = AhoCorasick(v)
-            _AUTOMATON_CACHE[key] = ac
+        key = (
+            engine,
+            word_boundary,
+            len(v),
+            v[0] if v else "",
+            v[-1] if v else "",
+            hash(tuple(v[::97])),
+        )
+        scanner = _AUTOMATON_CACHE.get(key)
+        if scanner is None:
+            if engine == "regex":
+                scanner = RegexTrieScanner(v, word_boundary=word_boundary)
+            else:
+                scanner = AhoCorasick(v)
+            _AUTOMATON_CACHE[key] = scanner
+        boundary_in_scanner = engine == "regex"  # regex applies it itself
         for pdf in batches:
             ids: list = []
             surfaces: list[str] = []
@@ -141,8 +243,12 @@ def scan_mentions(
                 if not isinstance(text, str) or not text:
                     continue
                 low = text.lower()
-                for s, e, pat in ac.find_all(low):
-                    if word_boundary and not _word_bounded(low, s, e):
+                for s, e, pat in scanner.find_all(low):
+                    if (
+                        word_boundary
+                        and not boundary_in_scanner
+                        and not _word_bounded(low, s, e)
+                    ):
                         continue
                     ids.append(doc_id)
                     surfaces.append(pat)

@@ -64,6 +64,34 @@ def test_aho_corasick_equals_regex_oracle(patterns, text):
     assert got == want
 
 
+@given(
+    st.lists(
+        st.text(alphabet="ab_ -", min_size=1, max_size=5), min_size=1, max_size=10
+    ),
+    st.text(alphabet="ab_ -x", max_size=150),
+    st.booleans(),
+)
+@settings(max_examples=300, deadline=None)
+def test_regex_trie_scanner_equals_aho_corasick(patterns, text, word_boundary):
+    """The C-speed trie-regex scanner must reproduce the AC hit set exactly
+    — including overlapping occurrences, nested-prefix patterns, and the
+    isalnum/underscore boundary rule on patterns that start or end with
+    non-word chars (where \\b would differ from AC's check)."""
+    from biomedical_knowledge_graph_spark.operators.mentions import (
+        RegexTrieScanner,
+        _word_bounded,
+    )
+
+    ac = AhoCorasick(patterns)
+    want = {
+        (s, e, p)
+        for s, e, p in ac.find_all(text)
+        if not word_boundary or _word_bounded(text, s, e)
+    }
+    got = set(RegexTrieScanner(patterns, word_boundary=word_boundary).find_all(text))
+    assert got == want
+
+
 # -- shingles / Jaccard bounds ------------------------------------------------
 
 
