@@ -299,6 +299,13 @@ class SnapshotTable:
         file count and manifest size for long-lived tables; the superseded
         snapshot dirs are deleted after the new manifest commits."""
         t0 = time.time()
+        # crash-window recovery first: a prior compact that died between
+        # its manifest commit and dir cleanup leaves superseded _snap dirs
+        # on disk. Readers never see them (manifest-listed roots only) but
+        # they leak space — reclaim any dir numbered <= HEAD that the live
+        # manifest doesn't reference. Dirs numbered > HEAD are an
+        # in-flight writer's stage and are never touched.
+        self._vacuum_orphans()
         old_files = self.current_files()
         if len(old_files) <= 1:
             return {"compacted": 0}
@@ -325,6 +332,28 @@ class SnapshotTable:
         for f in old_files:  # superseded, no longer referenced
             shutil.rmtree(f, ignore_errors=True)
         return lineage
+
+    def _vacuum_orphans(self) -> None:
+        """Delete committed-then-superseded ``_snap`` dirs (<= HEAD, not in
+        the live manifest). Idempotent; safe alongside an in-flight
+        merge_append, whose stage dir is numbered HEAD+1."""
+        head = self._head()
+        if head == 0:
+            return
+        live = set(self.current_files())
+        data_dir = self._data_dir()
+        if not os.path.isdir(data_dir):
+            return
+        for entry in os.listdir(data_dir):
+            if not entry.startswith("_snap="):
+                continue
+            try:
+                n = int(entry.split("=", 1)[1])
+            except ValueError:  # pragma: no cover - foreign dir, leave it
+                continue
+            full = os.path.join(data_dir, entry)
+            if n <= head and full not in live:
+                shutil.rmtree(full, ignore_errors=True)
 
     def count(self, spark: SparkSession) -> int:
         df = self.read(spark)

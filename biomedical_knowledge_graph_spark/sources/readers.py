@@ -16,6 +16,56 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # ---------------------------------------------------------------------------
+# Side-file distribution (round-4, VERDICT r3 item 8): a driver-rendered
+# dim file (OBO / pathway CSV fixture) lives on the driver's local disk —
+# on a real multi-host cluster `spark.read.<fmt>("/driver/tmp/...")` fails
+# on executors. `distribute_side_file` ships it via SparkContext.addFile
+# and returns a `sparkfiles:<name>` marker; readers that accept the marker
+# open the file AT TASK TIME via SparkFiles.get (each executor resolves
+# its own fetched copy), so the plan never embeds a driver-only path.
+# ---------------------------------------------------------------------------
+
+SPARKFILES_SCHEME = "sparkfiles:"
+
+
+def distribute_side_file(spark: SparkSession, local_path: str) -> str:
+    """addFile + marker. The basename must be unique per SparkContext
+    (addFile contract); callers append a counter when regenerating."""
+    import os as _os
+
+    spark.sparkContext.addFile(local_path)
+    return SPARKFILES_SCHEME + _os.path.basename(local_path)
+
+
+def read_wholetext(spark: SparkSession, path: str) -> DataFrame:
+    """One row per file with a `value` column holding the full content.
+
+    Plain paths use `spark.read.text(wholetext=True)` (one task per file);
+    `sparkfiles:` markers open the executor-local fetched copy inside an
+    Arrow-batched task, which works when executors aren't the driver host.
+    """
+    if path.startswith(SPARKFILES_SCHEME):
+        name = path[len(SPARKFILES_SCHEME):]
+        marker = spark.range(1).select(F.lit(name).alias("name"))
+
+        def rd(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pyspark import SparkFiles
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "value": [
+                            open(SparkFiles.get(n), encoding="utf-8").read()
+                            for n in pdf["name"]
+                        ]
+                    }
+                )
+
+        return marker.mapInPandas(rd, schema="value string")
+    return spark.read.text(path, wholetext=True)
+
+
+# ---------------------------------------------------------------------------
 # S2/S3 — two/three-column TSV lookup dims (goID_2_name.tab family)
 # ---------------------------------------------------------------------------
 
@@ -226,7 +276,15 @@ def read_pathway_csv(
     edge list. All casts are try_cast (ANSI-safe: malformed cells → null,
     matching the reference's pd.notna gates).
     """
-    raw = spark.read.csv(path, header=True)
+    if path.startswith(SPARKFILES_SCHEME):
+        # same Spark CSV parser, fed task-time-read lines instead of a
+        # driver-only file path (DataFrameReader.csv accepts an RDD[str])
+        lines = read_wholetext(spark, path).rdd.flatMap(
+            lambda r: r["value"].splitlines()
+        )
+        raw = spark.read.csv(lines, header=True)
+    else:
+        raw = spark.read.csv(path, header=True)
     cols = set(raw.columns)
 
     def opt(name: str, cast: str):
@@ -468,8 +526,9 @@ def read_obo_terms(
     1000× scale axis is pages, not ontologies), stanza split + parse inside
     an Arrow-batched mapInPandas. The namespace early-skip (P1,
     go_kg_builder.py:406-411) is applied inside the parser before row
-    materialization."""
-    raw = spark.read.text(path, wholetext=True)
+    materialization. ``sparkfiles:<name>`` paths (distribute_side_file)
+    are opened executor-locally at task time."""
+    raw = read_wholetext(spark, path)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

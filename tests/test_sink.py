@@ -197,3 +197,59 @@ def test_merge_null_bucket_still_deduplicates(spark, tmp_path):
     r4 = t.merge_append(_df(spark, [("null_two", "o9", 7)]), run_id="r4")
     assert r4["rows_added"] == 1
     t.assert_unique_keys(spark)
+
+
+def test_compaction_crash_window(spark, tmp_path, monkeypatch):
+    """VERDICT r3 item 9: compact() deletes superseded snapshot dirs AFTER
+    the manifest commit. Simulate a crash in that window (cleanup raises)
+    and assert (a) readers see exactly the compacted data — the manifest
+    references only the new snapshot, so the stale dirs are invisible —
+    and (b) a re-run reclaims the orphaned dirs."""
+    import shutil as _shutil
+
+    import biomedical_knowledge_graph_spark.sinks.table_format as tf
+
+    root = str(tmp_path / "cw")
+    t = SnapshotTable(root, key_cols=["subj", "obj"])
+    t.merge_append(_df(spark, [("a", "b", 1)]), run_id="r1")
+    t.merge_append(_df(spark, [("c", "d", 2)]), run_id="r2")
+    t.merge_append(_df(spark, [("e", "f", 3)]), run_id="r3")
+    data_dir = os.path.join(root, "data")
+    assert len([d for d in os.listdir(data_dir) if d.startswith("_snap=")]) == 3
+
+    # crash between manifest commit and cleanup: rmtree raises once
+    real_rmtree = _shutil.rmtree
+    calls = []
+
+    def dying_rmtree(path, *a, **kw):
+        calls.append(path)
+        raise OSError("simulated crash during cleanup")
+
+    monkeypatch.setattr(tf.shutil, "rmtree", dying_rmtree)
+    try:
+        t.compact(spark, run_id="compact-crash")
+    except OSError:
+        pass
+    monkeypatch.setattr(tf.shutil, "rmtree", real_rmtree)
+
+    # (a) manifest committed before the crash → readers see EXACTLY the
+    # compacted data, stale dirs notwithstanding
+    on_disk = [d for d in os.listdir(data_dir) if d.startswith("_snap=")]
+    assert len(on_disk) == 4  # 3 stale + 1 compacted, nothing reclaimed yet
+    assert len(t.current_files()) == 1
+    rows = {(r.subj, r.obj, r.w) for r in t.read(spark).collect()}
+    assert rows == {("a", "b", 1), ("c", "d", 2), ("e", "f", 3)}
+    t.assert_unique_keys(spark)
+
+    # (b) the next compact() vacuums the orphans even though there is
+    # nothing left to merge (single live snapshot)
+    report = t.compact(spark, run_id="compact-retry")
+    assert report == {"compacted": 0}
+    on_disk_after = [d for d in os.listdir(data_dir) if d.startswith("_snap=")]
+    assert len(on_disk_after) == 1
+    rows_after = {(r.subj, r.obj, r.w) for r in t.read(spark).collect()}
+    assert rows_after == rows
+
+    # and the table still accepts new commits
+    r = t.merge_append(_df(spark, [("a", "b", 9), ("g", "h", 4)]), run_id="r4")
+    assert r["rows_added"] == 1

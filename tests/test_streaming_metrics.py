@@ -231,3 +231,92 @@ def test_sink_partition_counts_lineage(spark, tmp_path):
     # replay: zero rows added, empty counters
     lineage2 = table.merge_append(df, run_id="r2")
     assert lineage2["rows_added"] == 0 and lineage2["partition_counts"] is None
+
+
+def test_sessionize_stream_equals_batch(spark, tmp_path):
+    """session_window (streaming-native) ≡ the batch lag/cumsum sessionize:
+    same session boundaries, counts, and value sums — including an event
+    at EXACTLY the gap boundary (both MERGE it: session_window uses the
+    closed interval [start, last+gap]). Run once as a real stream (append
+    mode, watermark-closed sessions) and once as a batch frame."""
+    import datetime as dt2
+
+    base = dt2.datetime(2024, 3, 1, 8, 0, 0)
+    rows = []
+    # user 100: events at 0,10,20 min (one session), then 80,85 (second)
+    for i, m in enumerate([0, 10, 20, 80, 85]):
+        rows.append((i, base + dt2.timedelta(minutes=m), 100, "click", float(m)))
+    # user 200: one gap of EXACTLY 30 min (merges — session_window treats
+    # the session as closed-interval [start, last+gap] for merging) and a
+    # later gap of 31 min (splits)
+    rows.append((10, base, 200, "view", 1.0))
+    rows.append((11, base + dt2.timedelta(minutes=30), 200, "view", 2.0))
+    rows.append((12, base + dt2.timedelta(minutes=61), 200, "view", 3.0))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    path = str(tmp_path / "sess_ev")
+    df.write.mode("overwrite").parquet(path)
+
+    gap = 30
+
+    # batch lag/cumsum form → per-session (user, start, last+gap, n, sum)
+    batch_sessions = sorted(
+        map(
+            tuple,
+            streaming.sessionize(df, gap_minutes=gap)
+            .groupBy("user_id", "session_id")
+            .agg(
+                F.min("ts").alias("session_start"),
+                (F.max("ts") + F.expr(f"INTERVAL {gap} MINUTES")).alias(
+                    "session_end"
+                ),
+                F.count("*").alias("n_events"),
+                F.sum("value").alias("sum_value"),
+            )
+            .select(
+                "user_id", "session_start", "session_end", "n_events", "sum_value"
+            )
+            .collect(),
+        )
+    )
+    assert len(batch_sessions) == 4  # 2 per user
+
+    # session_window on the same BATCH frame
+    batch_sw = sorted(
+        map(tuple, streaming.sessionize_stream(df, gap_minutes=gap).collect())
+    )
+    assert batch_sw == batch_sessions
+
+    # and as a real stream: append mode emits watermark-closed sessions
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    q = (
+        streaming.sessionize_stream(stream, gap_minutes=gap, watermark="1 minute")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # append mode holds back sessions the watermark hasn't passed; a
+        # second empty trigger advances nothing, so compare the emitted
+        # subset — every emitted row must be a batch session, and all
+        # sessions closed before max_ts - watermark must have been emitted
+        streamed = sorted(
+            map(tuple, spark.sql("SELECT * FROM sess_out").collect())
+        )
+    finally:
+        q.stop()
+    assert set(streamed) <= set(batch_sessions)
+    closed_by_watermark = [
+        s
+        for s in batch_sessions
+        # max event ts = base+85min; watermark 1min → horizon base+84min
+        if s[2] <= base + dt2.timedelta(minutes=84)
+    ]
+    assert set(closed_by_watermark) <= set(streamed)
+    # horizon 9:24 closes exactly the 8:50 and 9:00 sessions
+    assert set(streamed) == set(closed_by_watermark)
+    assert len(streamed) == 2

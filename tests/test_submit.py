@@ -107,3 +107,67 @@ def test_spark_submit_pyfiles_full_build(spark, tmp_path):
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
     assert summary["total_nodes"] == 3 and summary["total_edges"] == 3
     assert os.path.exists(os.path.join(out_root, "metrics-submit-test.json"))
+
+
+def test_fixture_queries_on_local_cluster(tmp_path):
+    """VERDICT r3 item 8: the OBO/pathway fixture queries route their
+    rendered dim file through SparkContext.addFile + task-time
+    SparkFiles.get, so they must run green when executors are separate
+    JVMs from the driver (local-cluster). Row counts are pinned against
+    the known fixture shape (rendered from the 25-row nation dim)."""
+    import pytest
+
+    submit = _spark_submit()
+    if submit is None:  # pragma: no cover - environment-dependent
+        pytest.skip("spark-submit not available")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "fixture_queries_job.py"
+    script.write_text(
+        """
+import json, sys
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local-cluster[1,2,2048]")
+    .appName("fixture-queries-lc")
+    .config("spark.executor.memory", "2g")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+)
+from biomedical_knowledge_graph_spark.queries import REGISTRY
+
+sf_dir = "/root/testdata/sf0.001"
+counts = {
+    name: REGISTRY[name].fn(spark, sf_dir).count()
+    for name in (
+        "obo_relationship_edges",
+        "obo_typed_triples",
+        "obo_synonym_scopes",
+        "pathway_membership",
+        "pathway_modules",
+    )
+}
+print("RESULT " + json.dumps(counts))
+spark.stop()
+"""
+    )
+    env = dict(os.environ)
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYTHONPATH"] = repo
+    proc = subprocess.run(
+        [sys.executable, str(script)],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=str(tmp_path),
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT ")][-1]
+    counts = json.loads(line[len("RESULT "):])
+    assert counts["obo_relationship_edges"] == 3
+    assert counts["pathway_membership"] == 25
+    assert counts["pathway_modules"] == 5
+    assert counts["obo_typed_triples"] > 0
+    assert counts["obo_synonym_scopes"] > 0
