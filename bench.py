@@ -193,6 +193,20 @@ def _deltas_vs_previous_round(
     if isinstance(prev.get("parsed"), dict):
         # the driver's BENCH_r*.json wraps the bench line under "parsed"
         prev = prev["parsed"]
+    elif isinstance(prev.get("tail"), str):
+        # r3's inline deltas pushed the contract line past the driver's
+        # tail-capture window (parsed: null) — recover per-query minima
+        # from the raw tail: everything before '"sf":' is (a suffix of)
+        # the queries dict, so name/number pairs there are query walls
+        frag = prev["tail"].split('"sf":')[0]
+        m_sf = re.search(r'"sf": ([0-9.]+)', prev["tail"])
+        prev = {
+            "sf": float(m_sf.group(1)) if m_sf else None,
+            "queries": {
+                k: float(v)
+                for k, v in re.findall(r'"([a-z_0-9]+)": ([0-9.]+)', frag)
+            },
+        }
     if prev.get("sf") != sf_val:
         return None  # cross-SF ratios are meaningless
     prev_q = prev.get("queries") or {}

@@ -1618,9 +1618,10 @@ def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-# rendered fixtures are pure functions of the sf_dir dims — cache the file
-# per (kind, sf_dir) so repeated registry invocations (oracle harness, bench
-# reps) don't re-collect, re-render, and litter /tmp with one dir per call
+# rendered fixtures are pure functions of the sf_dir dims — cache the
+# (local file, sparkfiles marker) per (kind, sf_dir, SparkContext) so
+# repeated registry invocations (oracle harness, bench reps) don't
+# re-collect, re-render, re-addFile, and litter /tmp with one dir per call
 _FIXTURE_CACHE: dict[tuple[str, str, int], tuple[str, str]] = {}
 
 
