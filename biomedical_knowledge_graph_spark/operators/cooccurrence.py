@@ -11,9 +11,10 @@ co-mentioned in a document get a co-occurrence edge weighted by distinct
 document count.
 
 Scale design (SURVEY.md §7.4-3 — the quadratic blowup is here):
-1. aggregate to DISTINCT (doc, entity) *before* the pair join (the
-   reference counts distinct after expansion; distinct-first is equivalent
-   for countDistinct and cuts the join input);
+1. per-doc dedup happens INSIDE the one groupBy(doc) collect_set (its
+   map-side partial aggregation dedupes before the shuffle — equivalent
+   to the reference's count-distinct-after-expansion, with no separate
+   distinct shuffle);
 2. optionally cap per-doc fan-out (a doc mentioning 10⁴ entities creates
    5·10⁷ pairs; ``max_entities_per_doc`` bounds it; NULL = exact);
 3. the self-join shuffles both sides on the doc key once — same
@@ -79,7 +80,13 @@ def cooccurrence_edges(
     that count; None keeps the raw groupBy partitioning (at true corpus
     scale doc_sets is large enough that AQE sizes it correctly anyway).
     """
-    pairs_in = links.select(doc_col, ent_col).distinct()
+    # NO pre-distinct: the pair stage aggregates with collect_set, whose
+    # map-side partial aggregation dedupes (doc, entity) before the
+    # shuffle anyway — a distinct() here is one full extra shuffle on a
+    # DIFFERENT key (doc, entity vs doc), measured pure overhead in the
+    # pipeline's dominant phase (round 4; the distinct-first advice in
+    # this file's header applies to the self-join shape, not this one)
+    pairs_in = links.select(doc_col, ent_col)
     decode = None
     decode_broadcast = False
     if max_entities_per_doc is not None:
@@ -102,10 +109,10 @@ def cooccurrence_edges(
                 doc_col, F.xxhash64(ent_col).alias(ent_col)
             )
     # Pair generation: one groupBy(doc) shuffle collecting the (sorted,
-    # distinct) per-doc entity set, pairs emitted JVM-side from the array,
-    # then a map-side-combinable count. Because the input is distinct per
-    # (doc, entity), each (doc, subj, obj) appears exactly once, so
-    # count(*) == countDistinct(doc) — the cheap aggregate is exact.
+    # distinct — collect_set) per-doc entity set, pairs emitted JVM-side
+    # from the array, then a map-side-combinable count. Because each
+    # per-doc array is a SET, each (doc, subj, obj) appears exactly once,
+    # so count(*) == countDistinct(doc) — the cheap aggregate is exact.
     # (The alternative — self-join on the doc key — shuffles the links
     # twice and needs a two-phase distinct aggregate; this shape halves
     # the shuffled bytes and keeps the wide rows out of the exchange.)

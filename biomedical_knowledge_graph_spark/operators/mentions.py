@@ -262,6 +262,100 @@ def scan_mentions(
     return pruned.mapInPandas(scan, schema=out_schema)
 
 
+def scan_mentions_linked(
+    docs: DataFrame,
+    link_map: dict[str, list[tuple[str, str]]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    word_boundary: bool = True,
+    engine: str = "regex",
+) -> DataFrame:
+    """FUSED scan + link + per-doc distinct (round 4): docs(id, text) →
+    distinct (id, entity_id, entity_type) rows, one worker pass.
+
+    ``link_map``: lowercase alias → [(entity_id, entity_type), ...] — the
+    broadcast dictionary with any canonicalization (obsolete remap,
+    shared-alias component resolution) already composed in driver-side.
+
+    Why fuse: the unfused chain (scan → broadcast link join → broadcast
+    component join → distinct) pays a full (doc, entity) SHUFFLE for the
+    distinct, plus Arrow-materializes every raw mention. But ALL of a
+    doc's mentions are produced inside that doc's task, so per-doc dedup
+    in the worker is exact and doc-local — the distinct shuffle vanishes
+    and the Python→JVM batch carries only the deduped linked set
+    (measured: the links-distinct phase was a pure extra shuffle of the
+    pipeline's second-largest table). Equality with the unfused chain is
+    pinned by test_pipeline.
+
+    At 100 TB the same argument holds per partition: the scan output
+    never needs repartitioning to dedup, because the dedup key (doc)
+    is born partition-local.
+    """
+    if engine not in ("regex", "ac"):
+        raise ValueError(f"unknown scan engine {engine!r}")
+    spark = docs.sparkSession
+    id_field = docs.schema[id_col]
+    norm = sorted(
+        (a.lower(), tuple(sorted(set(v))))
+        for a, v in link_map.items()
+        if a and v
+    )
+    bc = spark.sparkContext.broadcast(norm)
+    out_schema = (
+        f"{id_col} {id_field.dataType.simpleString()}, "
+        "entity_id string, entity_type string"
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        v = bc.value
+        key = (
+            "linked",
+            engine,
+            word_boundary,
+            len(v),
+            v[0][0] if v else "",
+            v[-1][0] if v else "",
+            hash(tuple(a for a, _ in v[::97])),
+        )
+        cached = _AUTOMATON_CACHE.get(key)
+        if cached is None:
+            aliases = [a for a, _ in v]
+            if engine == "regex":
+                scanner = RegexTrieScanner(aliases, word_boundary=word_boundary)
+            else:
+                scanner = AhoCorasick(aliases)
+            cached = (scanner, dict(v))
+            _AUTOMATON_CACHE[key] = cached
+        scanner, amap = cached
+        apply_boundary = word_boundary and engine == "ac"
+        for pdf in batches:
+            ids: list = []
+            eids: list[str] = []
+            etypes: list[str] = []
+            for doc_id, text in zip(pdf[id_col].values, pdf[text_col].values):
+                if not isinstance(text, str) or not text:
+                    continue
+                low = text.lower()
+                found: set[str] = set()
+                for s, e, pat in scanner.find_all(low):
+                    if apply_boundary and not _word_bounded(low, s, e):
+                        continue
+                    found.add(pat)
+                ents: set[tuple[str, str]] = set()
+                for pat in found:
+                    ents.update(amap[pat])
+                for eid, etype in sorted(ents):
+                    ids.append(doc_id)
+                    eids.append(eid)
+                    etypes.append(etype)
+            yield pd.DataFrame(
+                {id_col: ids, "entity_id": eids, "entity_type": etypes}
+            )
+
+    pruned = docs.select(id_col, text_col)
+    return pruned.mapInPandas(scan, schema=out_schema)
+
+
 def scan_mentions_token_join(
     docs: DataFrame,
     dim: DataFrame,

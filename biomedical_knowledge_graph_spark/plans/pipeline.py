@@ -35,7 +35,8 @@ from biomedical_knowledge_graph_spark.operators.linking import (
     resolve_obsolete,
 )
 from biomedical_knowledge_graph_spark.operators.mentions import (
-    scan_mentions,
+    scan_mentions,  # noqa: F401 - the unfused scan stays public API
+    scan_mentions_linked,
     scan_mentions_token_join,
 )
 from biomedical_knowledge_graph_spark.sinks.table_format import SnapshotTable
@@ -139,8 +140,10 @@ def build_kg(
     - ``token_join`` (default): JVM-only word-n-gram explode + broadcast
       join (whole-stage codegen end to end; the 100 TB path for
       token-aligned dictionaries);
-    - ``ac``: Aho-Corasick pandas UDF (Arrow batches; needed when aliases
-      aren't token-aligned or char offsets are required)."""
+    - ``ac``: in-worker dictionary scan (regex-trie, Arrow batches;
+      needed when aliases aren't token-aligned). Round 4: this path runs
+      the FUSED scan+link+canonicalize+dedup (scan_mentions_linked) —
+      identical output, no link joins, no distinct shuffle."""
     # ① extract + prune html immediately (keep bytes out of every shuffle)
     docs = extract_pages(pages).filter(F.length("text") > 0)
 
@@ -172,29 +175,69 @@ def build_kg(
                 "per-worker-automaton) strategy; use "
                 "mention_strategy='token_join'"
             )
-        aliases = [r["alias"] for r in distinct_aliases.collect()]
-        mentions = scan_mentions(docs, aliases, id_col="url", text_col="text")
+        # ②+③+④+⑤ FUSED (round 4): the link join (alias → canonical) and
+        # the component join (canonical → resolved) are both broadcast
+        # maps, and EVERY mention of a doc is produced inside that doc's
+        # scan task — so composing the maps driver-side and deduping
+        # per doc in the worker yields the same distinct
+        # (doc, entity, type) rows with NO link joins and NO distinct
+        # shuffle (the dedup key is born partition-local). Equality with
+        # the unfused chain is pinned by test_pipeline.
+        comp_map = alias_component_map(dim_current)
+        link_rows = (
+            dim_current.join(comp_map, "canonical_id")
+            .select(
+                F.lower("alias").alias("alias"),
+                "canonical_id",
+                "resolved_id",
+                "entity_type",
+            )
+            .collect()
+        )
+        # replicate link_mentions' dedup contract: case-duplicate dim rows
+        # collapse per (alias, canonical) with MIN entity_type (nulls lose)
+        per_ac: dict[tuple[str, str], tuple[str, str]] = {}
+        for r in link_rows:
+            k = (r["alias"], r["canonical_id"])
+            v = (r["resolved_id"], r["entity_type"])
+            cur = per_ac.get(k)
+            if (
+                cur is None
+                or cur[1] is None
+                or (v[1] is not None and v[1] < cur[1])
+            ):
+                per_ac[k] = v
+        link_map: dict[str, list[tuple[str, str]]] = {}
+        for (alias, _), v in per_ac.items():
+            link_map.setdefault(alias, []).append(v)
+        links = scan_mentions_linked(
+            docs, link_map, id_col="url", text_col="text"
+        ).select(
+            F.col("url").alias("doc_id"),
+            F.col("entity_id"),
+            "entity_type",
+        )
     else:
         mentions = scan_mentions_token_join(
             docs, dim_current, id_col="url", text_col="text"
         )
 
-    # ③ link via broadcast dim
-    linked = link_mentions(mentions, dim_current, id_col="url").filter(
-        F.col("canonical_id").isNotNull()
-    )
-
-    # ④+⑤ canonicalize: collapse ids that share aliases (connected components)
-    comp_map = alias_component_map(dim_current)
-    links = (
-        linked.join(F.broadcast(comp_map), "canonical_id")
-        .select(
-            F.col("url").alias("doc_id"),
-            F.col("resolved_id").alias("entity_id"),
-            "entity_type",
+        # ③ link via broadcast dim
+        linked = link_mentions(mentions, dim_current, id_col="url").filter(
+            F.col("canonical_id").isNotNull()
         )
-        .distinct()
-    )
+
+        # ④+⑤ canonicalize: collapse ids that share aliases (CC)
+        comp_map = alias_component_map(dim_current)
+        links = (
+            linked.join(F.broadcast(comp_map), "canonical_id")
+            .select(
+                F.col("url").alias("doc_id"),
+                F.col("resolved_id").alias("entity_id"),
+                "entity_type",
+            )
+            .distinct()
+        )
     if cache_links:
         # links feed three consumers (nodes, co-occurrence, metrics); without
         # a persist each downstream action re-runs extraction + mention scan

@@ -27,7 +27,10 @@ from biomedical_knowledge_graph_spark.operators.components import (
 from biomedical_knowledge_graph_spark.operators.cooccurrence import (
     cooccurrence_edges,
 )
-from biomedical_knowledge_graph_spark.operators.mentions import scan_mentions
+from biomedical_knowledge_graph_spark.operators.mentions import (
+    scan_mentions,
+    scan_mentions_linked,
+)
 from biomedical_knowledge_graph_spark.sources.testdata import (
     DOC_ENTITY_DICT,
     doc_dict_cte,
@@ -69,17 +72,18 @@ _DICT_CTE = doc_dict_cte()
 
 
 def _doc_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → distinct (doc_id, entity_id, entity_type) via the
-    Arrow-batched Aho-Corasick scan + broadcast dictionary join."""
+    """documents → distinct (doc_id, entity_id, entity_type) via the fused
+    in-worker dictionary scan+link+dedup (round 4, scan_mentions_linked:
+    every mention of a doc is produced in that doc's task, so the per-doc
+    dedup + dictionary lookup in-process replaces the broadcast join AND
+    the distinct shuffle — oracle-identical to the scan→join→distinct
+    chain it replaced)."""
     docs = load(spark, sf_dir, "documents")
-    dim = doc_entity_dim(spark)
-    mentions = scan_mentions(
-        docs, [a for a, _, _ in DOC_ENTITY_DICT], id_col="doc_id", text_col="text"
-    )
-    return (
-        mentions.join(F.broadcast(dim), mentions["surface"] == dim["alias"])
-        .select("doc_id", "entity_id", "entity_type")
-        .distinct()
+    link_map: dict[str, list[tuple[str, str]]] = {}
+    for alias, eid, etype in DOC_ENTITY_DICT:
+        link_map.setdefault(alias, []).append((eid, etype))
+    return scan_mentions_linked(
+        docs, link_map, id_col="doc_id", text_col="text"
     )
 
 

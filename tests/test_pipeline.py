@@ -83,3 +83,30 @@ def test_cooccurrence_fanout_cap(spark):
     # capped: d1 keeps E00,E01,E02 -> 3 pairs; d2 pair E00-E01 merges with d1's
     got = {(r.subj, r.obj): r.shared_docs for r in capped.collect()}
     assert got == {("E00", "E01"): 2, ("E00", "E02"): 1, ("E01", "E02"): 1}
+
+
+def test_fused_ac_links_equal_unfused_chain(spark):
+    """Round 4: the fused scan+link+canonicalize+dedup (mention_strategy
+    'ac' → scan_mentions_linked) must produce EXACTLY the unfused chain's
+    links and triples — including obsolete remaps, shared-alias component
+    resolution, and multi-entity aliases."""
+    pages = spark.createDataFrame(
+        fixtures.pages_pdf(n_pages=200, seed=7), schema=fixtures.PAGES_SCHEMA
+    )
+    dim = fixtures.entity_dict_df(spark)
+    fused = build_kg(spark, pages, dim, min_cooccur=2, mention_strategy="ac")
+    unfused = build_kg(
+        spark, pages, dim, min_cooccur=2, mention_strategy="token_join"
+    )
+    f_links = {
+        (r.doc_id, r.entity_id, r.entity_type) for r in fused.links.collect()
+    }
+    u_links = {
+        (r.doc_id, r.entity_id, r.entity_type) for r in unfused.links.collect()
+    }
+    assert f_links == u_links and len(f_links) > 0
+    f_triples = {tuple(r) for r in fused.triples.collect()}
+    u_triples = {tuple(r) for r in unfused.triples.collect()}
+    assert f_triples == u_triples and len(f_triples) > 0
+    fused.links.unpersist()
+    unfused.links.unpersist()
