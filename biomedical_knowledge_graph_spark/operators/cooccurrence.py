@@ -49,6 +49,8 @@ def cooccurrence_edges(
     max_entities_per_doc: int | None = None,
     pair_parallelism: int | str | None = "auto",
     encode_ids: bool = False,
+    prune_rare: bool = True,
+    input_distinct: bool = False,
 ) -> DataFrame:
     """links(doc, entity, ...) → edges(subj, obj, shared_docs, confidence)
     with subj < obj (undirected canonical form).
@@ -87,6 +89,33 @@ def cooccurrence_edges(
     # pipeline's dominant phase (round 4; the distinct-first advice in
     # this file's header applies to the self-join shape, not this one)
     pairs_in = links.select(doc_col, ent_col)
+    if prune_rare and min_count > 1 and max_entities_per_doc is None:
+        # a-priori support pruning (round 4, EXACT): shared_docs(a, b) <=
+        # min(df(a), df(b)), so an entity mentioned in fewer than
+        # ``min_count`` docs cannot appear in ANY surviving pair — drop it
+        # BEFORE the quadratic explosion. On a web corpus the entity
+        # df-distribution is long-tailed, so this prunes most of the
+        # vocabulary while the output is provably unchanged
+        # (oracle-checked; equality test with prune_rare=False). The df
+        # table is entity-dim-sized and broadcast-semi-joins back — the
+        # fact side is never shuffled for the filter. Skipped under the
+        # fan-out cap: the cap's "lexicographically-first k" contract is
+        # defined on the UNpruned per-doc set.
+        # ``input_distinct``: callers whose links are already distinct per
+        # (doc, entity) — the fused scan, _doc_links — declare it so df
+        # is a plain map-side-combinable count(*) (shuffles one partial
+        # row per entity per partition) instead of an exact countDistinct
+        # (which shuffles the deduped (entity, doc) pairs themselves).
+        df_agg = (
+            F.count("*") if input_distinct else F.countDistinct(doc_col)
+        )
+        frequent = (
+            pairs_in.groupBy(ent_col)
+            .agg(df_agg.alias("_df"))
+            .filter(F.col("_df") >= min_count)
+            .select(ent_col)
+        )
+        pairs_in = pairs_in.join(F.broadcast(frequent), ent_col, "left_semi")
     decode = None
     decode_broadcast = False
     if max_entities_per_doc is not None:

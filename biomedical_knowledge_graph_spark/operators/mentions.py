@@ -344,7 +344,9 @@ def scan_mentions_linked(
                 ents: set[tuple[str, str]] = set()
                 for pat in found:
                     ents.update(amap[pat])
-                for eid, etype in sorted(ents):
+                for eid, etype in sorted(
+                    ents, key=lambda t: (t[0], t[1] or "")
+                ):
                     ids.append(doc_id)
                     eids.append(eid)
                     etypes.append(etype)

@@ -259,6 +259,10 @@ def build_kg(
         min_count=min_cooccur,
         max_entities_per_doc=max_entities_per_doc,
         encode_ids=cache_links and max_entities_per_doc is None,
+        # links is distinct per (doc, entity) on BOTH strategy paths
+        # (fused per-doc dedup / explicit .distinct()), so the a-priori
+        # df prune is a plain count
+        input_distinct=True,
     )
     triples = co.select(
         F.col("subj"),

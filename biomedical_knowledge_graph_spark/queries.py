@@ -209,6 +209,7 @@ def kg_golden_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_count=20,
         tiers=((300, "high"), (150, "medium"), (50, "low"), (20, "weak")),
         encode_ids=True,  # links is persisted: the probe is one cached scan
+        input_distinct=True,  # fused scan emits per-doc-distinct links
     ).persist()
     try:
         return metrics_summary_df(nodes, triples).localCheckpoint(eager=True)
@@ -248,6 +249,10 @@ def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         ent_col="entity_id",
         min_count=20,
         tiers=((300, "high"), (150, "medium"), (50, "low"), (20, "weak")),
+        # the testdata dictionary is dim-sized and all-frequent, and links
+        # is unpersisted here — the df prune would just re-run the scan
+        # (kg_golden_metrics exercises pruning over persisted links)
+        prune_rare=False,
     )
 
 

@@ -110,3 +110,39 @@ def test_fused_ac_links_equal_unfused_chain(spark):
     assert f_triples == u_triples and len(f_triples) > 0
     fused.links.unpersist()
     unfused.links.unpersist()
+
+
+def test_apriori_prune_is_exact(spark):
+    """Round 4: the a-priori df prune (entities in < min_count docs cannot
+    form a surviving pair) must not change the output — compare against
+    prune_rare=False on a corpus WITH rare entities, under both the plain
+    and input_distinct df paths."""
+    from biomedical_knowledge_graph_spark.operators.cooccurrence import (
+        cooccurrence_edges,
+    )
+
+    rows = []
+    # frequent entities A,B co-occur in 5 docs; C occurs in 2 docs (rare
+    # at min_count=3); D once; duplicates included to exercise the
+    # non-distinct df path
+    for d in range(5):
+        rows += [(f"d{d}", "A"), (f"d{d}", "B"), (f"d{d}", "A")]
+    rows += [("d0", "C"), ("d1", "C"), ("d2", "D")]
+    links = spark.createDataFrame(rows, "doc_id string, canonical_id string")
+    want = sorted(
+        map(tuple, cooccurrence_edges(links, min_count=3, prune_rare=False).collect())
+    )
+    got = sorted(
+        map(tuple, cooccurrence_edges(links, min_count=3, prune_rare=True).collect())
+    )
+    assert got == want and len(got) == 1  # only (A, B) survives
+    # input_distinct path over pre-deduped links
+    got_d = sorted(
+        map(
+            tuple,
+            cooccurrence_edges(
+                links.distinct(), min_count=3, prune_rare=True, input_distinct=True
+            ).collect(),
+        )
+    )
+    assert got_d == want
