@@ -2004,3 +2004,48 @@ def customer_evidence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 for _deferred in ("kg_entity_doc_counts", "ann_ivf_sampled_topk"):
     REGISTRY[_deferred] = REGISTRY.pop(_deferred)
 del _deferred
+
+
+@register(
+    "dedup_near_dup_clusters",
+    f"""
+    WITH RECURSIVE {_SH_CTE},
+    ndpairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+    sym AS (SELECT id_a AS a, id_b AS b FROM ndpairs
+            UNION SELECT id_b, id_a FROM ndpairs),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (SELECT a AS doc_id, least(a, min(b)) AS keep_id
+             FROM reach GROUP BY a)
+    SELECT doc_id, keep_id,
+           CAST(count(*) OVER (PARTITION BY keep_id) AS BIGINT)
+             AS cluster_size
+    FROM comp
+    """,
+    "training-data dedup, cluster stage: near-dup pairs (MinHash+LSH) → "
+    "connected components → canonical keep-id per cluster — the standard "
+    "keep-one-per-cluster output a dedup pipeline feeds downstream "
+    "(registered past the driver's 50-entry cap; oracle-checked in "
+    "tests/test_round4_fixes.py)",
+)
+def dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from biomedical_knowledge_graph_spark.operators import dedup as _dd
+    from biomedical_knowledge_graph_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = _dd.minhash_dedup_pairs(docs, threshold=0.8)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("keep_id")
+    )
+    return comp.withColumn(
+        "cluster_size",
+        F.count("*").over(Window.partitionBy("keep_id")),
+    )
