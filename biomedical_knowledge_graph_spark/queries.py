@@ -2049,3 +2049,43 @@ def dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         F.count("*").over(Window.partitionBy("keep_id")),
     )
+
+
+@register(
+    "event_sessions",
+    """
+    WITH lagd AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM lagd
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    "§2.8 sessionization, oracled: session_window over the events table "
+    "(batch form of sessionize_stream; stream ≡ batch ≡ this lag/cumsum "
+    "SQL — split strictly after 30 min inactivity, an event at exactly "
+    "the boundary merges). Registered past the driver cap; oracle-checked "
+    "in tests/test_round4_fixes.py",
+)
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_knowledge_graph_spark.streaming.events import (
+        sessionize_stream,
+    )
+
+    events = load(spark, sf_dir, "events")
+    out = sessionize_stream(events, gap_minutes=30, watermark="1 hour")
+    return out.withColumn("sum_value", F.round("sum_value", 6))

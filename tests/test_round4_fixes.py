@@ -25,6 +25,7 @@ DEFERRED = [
     "kg_entity_doc_counts",
     "ann_ivf_sampled_topk",
     "dedup_near_dup_clusters",
+    "event_sessions",
 ]
 
 
