@@ -198,7 +198,10 @@ def scan_mentions(
 
     Matching is case-insensitive (aliases are lowered; text is lowered for
     matching, offsets refer to the original text). ``begin``/``end`` are
-    [start, end) character offsets.
+    [start, end) character offsets. Caveat shared by both engines: for
+    the rare code points whose ``str.lower()`` changes string LENGTH
+    (e.g. 'İ' → 'i̇'), offsets are positions in the lowered text, which
+    then diverge from the original; ASCII and 1:1 case folds are exact.
 
     ``engine``: ``"regex"`` (default) runs the trie-compiled C-speed
     scanner (RegexTrieScanner); ``"ac"`` keeps the pure-Python automaton.
