@@ -127,19 +127,52 @@ def phase_run(total_cores: int, pages_path: str) -> dict:
         walls[name] = round(time.time() - t0, 2)
         return p, n
 
+    mode = os.environ.get("BKG_PHASE_MODE", "fused")
     docs, _ = timed("extract", extract_pages(pages).filter(F.length("text") > 0))
-    mentions, _ = timed(
-        "scan", scan_mentions(docs, aliases, id_col="url", text_col="text")
-    )
-    linked, _ = timed(
-        "link",
-        link_mentions(mentions, dim, id_col="url").filter(
-            F.col("canonical_id").isNotNull()
-        ),
-    )
-    links, _ = timed(
-        "links_distinct", linked.select("url", "canonical_id").distinct()
-    )
+    if mode == "fused":
+        # round-4 production shape: scan+link+canonicalize+dedup in ONE
+        # worker pass (scan_mentions_linked) — phases 'link' and
+        # 'links_distinct' no longer exist as separate stages
+        from biomedical_knowledge_graph_spark.plans.pipeline import (
+            alias_component_map,
+        )
+
+        comp_map = alias_component_map(dim)
+        link_rows = (
+            dim.join(comp_map, "canonical_id")
+            .select(
+                F.lower("alias").alias("alias"), "resolved_id", "entity_type"
+            )
+            .collect()
+        )
+        link_map: dict = {}
+        for r in link_rows:
+            link_map.setdefault(r["alias"], []).append(
+                (r["resolved_id"], r["entity_type"])
+            )
+        from biomedical_knowledge_graph_spark.operators.mentions import (
+            scan_mentions_linked,
+        )
+
+        links, _ = timed(
+            "scan_link_fused",
+            scan_mentions_linked(
+                docs, link_map, id_col="url", text_col="text"
+            ).select(F.col("url"), F.col("entity_id").alias("canonical_id")),
+        )
+    else:
+        mentions, _ = timed(
+            "scan", scan_mentions(docs, aliases, id_col="url", text_col="text")
+        )
+        linked, _ = timed(
+            "link",
+            link_mentions(mentions, dim, id_col="url").filter(
+                F.col("canonical_id").isNotNull()
+            ),
+        )
+        links, _ = timed(
+            "links_distinct", linked.select("url", "canonical_id").distinct()
+        )
     t0 = time.time()
     n_triples = cooccurrence_edges(
         links,
@@ -147,6 +180,7 @@ def phase_run(total_cores: int, pages_path: str) -> dict:
         ent_col="canonical_id",
         min_count=3,
         encode_ids=True,
+        input_distinct=(mode == "fused"),
     ).count()
     walls["pairs"] = round(time.time() - t0, 2)
     walls["total"] = round(sum(walls.values()), 2)
