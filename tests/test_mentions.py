@@ -132,3 +132,60 @@ def test_pipeline_strategies_agree(spark):
         ).triples.collect()
     }
     assert t_ac == t_tj
+
+
+def test_scan_mentions_linked_both_engines_equal_join(spark):
+    """Operator-level fused-scan contract: scan_mentions_linked must equal
+    scan + join + per-doc distinct for BOTH engines, including nested
+    prefix aliases and multi-entity (ambiguous) aliases."""
+    from pyspark.sql import functions as F
+
+    from biomedical_knowledge_graph_spark.operators.mentions import (
+        scan_mentions,
+        scan_mentions_linked,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "alpha kinase binds beta and alpha kinase again"),
+            ("d2", "alpha alone, nothing else"),
+            ("d3", "AMBIG token here and ambig again"),
+            ("d4", ""),
+            ("d5", "betamax lacks the bare word"),
+        ],
+        "doc_id string, text string",
+    )
+    link_map = {
+        "alpha": [("E1", "gene")],
+        "alpha kinase": [("E2", "gene")],
+        "beta": [("E3", "term")],
+        "ambig": [("E4", "gene"), ("E5", "drug")],  # one alias, two entities
+    }
+    dim = spark.createDataFrame(
+        [(a, eid, et) for a, vs in link_map.items() for eid, et in vs],
+        "alias string, entity_id string, entity_type string",
+    )
+    mentions = scan_mentions(docs, list(link_map), id_col="doc_id")
+    want = sorted(
+        map(
+            tuple,
+            mentions.join(F.broadcast(dim), mentions["surface"] == dim["alias"])
+            .select("doc_id", "entity_id", "entity_type")
+            .distinct()
+            .collect(),
+        )
+    )
+    assert ("d1", "E1", "gene") in want and ("d1", "E2", "gene") in want
+    assert ("d3", "E4", "gene") in want and ("d3", "E5", "drug") in want
+    # word boundary: 'betamax' must NOT match the alias 'beta'
+    assert not [w for w in want if w[0] == "d5"]
+    for engine in ("regex", "ac"):
+        got = sorted(
+            map(
+                tuple,
+                scan_mentions_linked(
+                    docs, link_map, id_col="doc_id", engine=engine
+                ).collect(),
+            )
+        )
+        assert got == want, engine
