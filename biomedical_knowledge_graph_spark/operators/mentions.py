@@ -125,10 +125,16 @@ class RegexTrieScanner:
             pre = tuple(p[:k] for k in range(1, len(p)) if p[:k] in pat_set)
             if pre:
                 self._prefixes[p] = pre
-        trie = self._trie_source(pats)
-        if word_boundary:
+        if not pats:
+            # an empty alternation compiles to a match-everywhere empty
+            # group (zero-width '' hits at every boundary) — use an
+            # explicit never-matching pattern instead
+            self._rx = re.compile(r"(?!)")
+        elif word_boundary:
+            trie = self._trie_source(pats)
             self._rx = re.compile(rf"(?<!\w)(?=({trie})(?!\w))")
         else:
+            trie = self._trie_source(pats)
             self._rx = re.compile(rf"(?=({trie}))")
 
     @staticmethod

@@ -189,3 +189,15 @@ def test_scan_mentions_linked_both_engines_equal_join(spark):
             )
         )
         assert got == want, engine
+
+
+def test_regex_trie_scanner_empty_pattern_set():
+    """An empty dictionary must match NOTHING — the naive empty alternation
+    compiles to a match-everywhere empty group (zero-width '' hits)."""
+    from biomedical_knowledge_graph_spark.operators.mentions import (
+        RegexTrieScanner,
+    )
+
+    assert RegexTrieScanner([], word_boundary=True).find_all("a  b") == []
+    assert RegexTrieScanner([], word_boundary=False).find_all("ab") == []
+    assert RegexTrieScanner([""]).find_all("anything") == []
