@@ -128,7 +128,27 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    deltas = _deltas_vs_previous_round(timings, sf_val)
+    pipeline_block = {
+        "pages": n_pages,
+        "links": n_links,
+        "triples": n_triples,
+        "wall_s": round(pipe_wall, 3),
+        "triples_per_sec": round(n_triples / pipe_wall, 1),
+        "pages_per_sec": round(n_pages / pipe_wall, 1),
+    }
+    deltas = _deltas_vs_previous_round(timings, sf_val, pipeline_block)
+    # persist the FULL record locally before printing anything: the
+    # driver's BENCH_r*.json tail-captures a bounded window, and a clipped
+    # round must never cost a future baseline (VERDICT r4 item 3)
+    _append_local_record(
+        {
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            "sf": sf_val,
+            "cpus": cpus,
+            "queries": timings,
+            "pipeline": pipeline_block,
+        }
+    )
     # the full per-query delta detail goes on its OWN line, printed BEFORE
     # the contract line: the driver tail-captures a bounded window and
     # parses the final line, and r3's inline deltas pushed that line past
@@ -142,62 +162,41 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-        "pipeline": {
-            "pages": n_pages,
-            "links": n_links,
-            "triples": n_triples,
-            "wall_s": round(pipe_wall, 3),
-            "triples_per_sec": round(n_triples / pipe_wall, 1),
-            "pages_per_sec": round(n_pages / pipe_wall, 1),
-        },
+        "pipeline": pipeline_block,
     }
     if deltas is not None:
         out["regressions"] = {
             "vs": deltas["baseline_file"],
             "names": deltas["regressions"],
+            "unrecoverable": deltas["unrecoverable"],
         }
     print(json.dumps(out))
 
 
-def _deltas_vs_previous_round(
-    timings: dict[str, float], sf_val
-) -> dict | None:
-    """Round-over-round per-query deltas (VERDICT r2 item 10): compare this
-    run's minima against the newest BENCH_r*.json and flag >1.5x as
-    regressed — sub-second wobble on this shared host is noise, but the
-    harness now computes the ratio itself instead of leaving it to the
-    reader. BKG_PREV_BENCH overrides the baseline file."""
-    import glob
+_HERE = os.path.dirname(os.path.abspath(__file__))
+BENCH_LOCAL = os.path.join(_HERE, "BENCH_LOCAL.jsonl")
 
+
+def _parse_round_file(path: str) -> dict | None:
+    """One driver BENCH_r*.json → {sf, queries, pipeline, source} (the
+    driver wraps the bench line under "parsed"; a clipped tail-capture is
+    recovered from the raw tail fragment as in round 4)."""
     import re
 
-    prev_path = os.environ.get("BKG_PREV_BENCH")
-    if not prev_path:
-        here = os.path.dirname(os.path.abspath(__file__))
-        # sort by the NUMERIC round — lexicographic puts r10 before r9
-        def _round_no(p: str) -> int:
-            m = re.search(r"BENCH_r(\d+)\.json$", p)
-            return int(m.group(1)) if m else -1
-
-        cands = sorted(
-            glob.glob(os.path.join(here, "BENCH_r*.json")), key=_round_no
-        )
-        prev_path = cands[-1] if cands else None
-    if not prev_path or not os.path.exists(prev_path):
-        return None
     try:
-        with open(prev_path) as f:
+        with open(path) as f:
             prev = json.load(f)
     except (OSError, json.JSONDecodeError):
         return None
     if isinstance(prev.get("parsed"), dict):
-        # the driver's BENCH_r*.json wraps the bench line under "parsed"
         prev = prev["parsed"]
     elif isinstance(prev.get("tail"), str):
-        # r3's inline deltas pushed the contract line past the driver's
-        # tail-capture window (parsed: null) — recover per-query minima
-        # from the raw tail: everything before '"sf":' is (a suffix of)
-        # the queries dict, so name/number pairs there are query walls
+        # clipped tail (r3): everything before '"sf":' is (a suffix of)
+        # the queries dict, so name/number pairs there are query walls.
+        # NOTE the fragment can silently MISS leading queries — that is
+        # exactly why baselines now merge across sources (r4 lost the
+        # kg_connected_components baseline to this and masked a 1.57x
+        # regression).
         frag = prev["tail"].split('"sf":')[0]
         m_sf = re.search(r'"sf": ([0-9.]+)', prev["tail"])
         prev = {
@@ -207,24 +206,134 @@ def _deltas_vs_previous_round(
                 for k, v in re.findall(r'"([a-z_0-9]+)": ([0-9.]+)', frag)
             },
         }
-    if prev.get("sf") != sf_val:
-        return None  # cross-SF ratios are meaningless
-    prev_q = prev.get("queries") or {}
-    per_query = {}
-    for name, t in timings.items():
-        p = prev_q.get(name)
-        if p:
-            per_query[name] = {
-                "prev_s": p,
-                "ratio": round(t / p, 2),
-                "regressed": t > 1.5 * p,
-            }
+    else:
+        return None
     return {
-        "baseline_file": os.path.basename(prev_path),
-        "queries": per_query,
-        "regressions": sorted(
-            n for n, d in per_query.items() if d["regressed"]
+        "sf": prev.get("sf"),
+        "queries": prev.get("queries") or {},
+        "pipeline": prev.get("pipeline"),
+        "source": os.path.basename(path),
+    }
+
+
+def _baseline_records(sf_val) -> list[dict]:
+    """Candidate baseline records, NEWEST FIRST, from two sources:
+    1. BENCH_LOCAL.jsonl — the builder's own per-run full records
+       (VERDICT r4 item 3: written locally every run, so deltas never
+       depend on the driver's bounded tail-capture window);
+    2. the driver's BENCH_r*.json files (numeric round order).
+    Per-query baselines resolve against the first record carrying the
+    query, so one clipped source can never silently drop a baseline."""
+    import glob
+    import re
+
+    recs: list[dict] = []
+    try:
+        with open(BENCH_LOCAL) as f:
+            lines = f.read().splitlines()
+    except OSError:
+        lines = []
+    for line in reversed(lines):
+        try:
+            r = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if r.get("sf") == sf_val and isinstance(r.get("queries"), dict):
+            r.setdefault("source", "BENCH_LOCAL.jsonl")
+            recs.append(r)
+
+    def _round_no(p: str) -> int:
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    for path in sorted(
+        glob.glob(os.path.join(_HERE, "BENCH_r*.json")),
+        key=_round_no,
+        reverse=True,
+    ):
+        r = _parse_round_file(path)
+        if r is not None and r["sf"] == sf_val:
+            recs.append(r)
+    return recs
+
+
+def _append_local_record(record: dict) -> None:
+    """Persist this run's full result to BENCH_LOCAL.jsonl (best-effort —
+    a read-only checkout must not break the bench)."""
+    try:
+        with open(BENCH_LOCAL, "a") as f:
+            f.write(json.dumps(record) + "\n")
+    except OSError:
+        pass
+
+
+def _deltas_vs_previous_round(
+    timings: dict[str, float], sf_val, pipeline: dict | None = None
+) -> dict | None:
+    """Round-over-round deltas (VERDICT r2 item 10, hardened r5): compare
+    this run's minima against a MERGED baseline (newest available value
+    per query across BENCH_LOCAL.jsonl + all BENCH_r*.json) and flag
+    >1.5x walls as regressed. The pipeline block gets the same guard on
+    wall/throughput (VERDICT r4 item 4 — r4's 22% pipeline drop sailed
+    through a queries-only guard). Queries with no recoverable baseline
+    anywhere are listed under "unrecoverable" instead of silently
+    skipped. BKG_PREV_BENCH restricts the baseline to one file."""
+    prev_path = os.environ.get("BKG_PREV_BENCH")
+    if prev_path:
+        rec = _parse_round_file(prev_path)
+        recs = [rec] if rec is not None and rec["sf"] == sf_val else []
+    else:
+        recs = _baseline_records(sf_val)
+    if not recs:
+        return None
+    per_query = {}
+    unrecoverable = []
+    for name, t in timings.items():
+        src = next((r for r in recs if name in r["queries"]), None)
+        if src is None:
+            unrecoverable.append(name)
+            continue
+        p = src["queries"][name]
+        per_query[name] = {
+            "prev_s": p,
+            "ratio": round(t / p, 2),
+            "regressed": t > 1.5 * p,
+            "vs": src["source"],
+        }
+    regressions = sorted(n for n, d in per_query.items() if d["regressed"])
+    pipe_delta = None
+    if pipeline is not None:
+        src = next(
+            (
+                r
+                for r in recs
+                if isinstance(r.get("pipeline"), dict)
+                and r["pipeline"].get("pages") == pipeline.get("pages")
+                and r["pipeline"].get("triples_per_sec")
+            ),
+            None,
+        )
+        if src is not None:
+            prev_tps = src["pipeline"]["triples_per_sec"]
+            cur_tps = pipeline["triples_per_sec"]
+            pipe_delta = {
+                "prev_triples_per_sec": prev_tps,
+                "throughput_ratio": round(cur_tps / prev_tps, 3),
+                "regressed": cur_tps * 1.5 < prev_tps,
+                "vs": src["source"],
+            }
+            if pipe_delta["regressed"]:
+                regressions.append("pipeline")
+        else:
+            unrecoverable.append("pipeline")
+    return {
+        "baseline_file": "merged:" + ",".join(
+            sorted({d["vs"] for d in per_query.values()})
         ),
+        "queries": per_query,
+        "pipeline": pipe_delta,
+        "unrecoverable": sorted(unrecoverable),
+        "regressions": regressions,
     }
 
 

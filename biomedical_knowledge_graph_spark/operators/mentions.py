@@ -226,15 +226,13 @@ def scan_mentions(
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         v = bc.value
-        # content-derived key: id() may be recycled across broadcasts
-        key = (
-            engine,
-            word_boundary,
-            len(v),
-            v[0] if v else "",
-            v[-1] if v else "",
-            hash(tuple(v[::97])),
-        )
+        # content-derived key: id() may be recycled across broadcasts.
+        # Hash the FULL tuple (VERDICT r4 item 8): the sampled v[::97]
+        # key admitted a (vanishingly rare but silent) collision between
+        # equal-length dictionaries agreeing on the sampled elements;
+        # one exact hash per worker per broadcast is amortized across
+        # every batch the worker scans.
+        key = (engine, word_boundary, len(v), hash(tuple(v)))
         scanner = _AUTOMATON_CACHE.get(key)
         if scanner is None:
             if engine == "regex":
@@ -317,15 +315,11 @@ def scan_mentions_linked(
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         v = bc.value
-        key = (
-            "linked",
-            engine,
-            word_boundary,
-            len(v),
-            v[0][0] if v else "",
-            v[-1][0] if v else "",
-            hash(tuple(a for a, _ in v[::97])),
-        )
+        # exact full-content key over the (alias, entities) PAIRS — an
+        # alias-only key collides for two link_maps with identical
+        # aliases but different entity ids (ADVICE r4), silently serving
+        # stale links if this cache ever becomes process-shared
+        key = ("linked", engine, word_boundary, len(v), hash(tuple(v)))
         cached = _AUTOMATON_CACHE.get(key)
         if cached is None:
             aliases = [a for a, _ in v]

@@ -135,6 +135,7 @@ def build_kg(
     cache_links: bool = True,
     mention_strategy: str = "token_join",
     max_entities_per_doc: int | None = None,
+    prune_rare: bool | str | None = None,
 ) -> KGResult:
     """mention_strategy:
     - ``token_join`` (default): JVM-only word-n-gram explode + broadcast
@@ -249,9 +250,16 @@ def build_kg(
         F.countDistinct("doc_id").alias("doc_count"),
     )
 
-    # ⑥ co-occurrence triples — hash-encoded pair keys are safe to opt
-    # into here because `links` is persisted above, so the encoder's
-    # injectivity probe costs one cached scan, not a pipeline re-run
+    # ⑥ co-occurrence triples — hash-encoded pair keys and the auto
+    # df-prune probe are safe to opt into here because `links` is
+    # persisted above, so each probe action costs one cached scan, not a
+    # pipeline re-run. prune_rare=None resolves to "auto" when links is
+    # cached (probe + prune only if the dim is measured long-tailed,
+    # decision recorded in the sink's lineage row), else to the static
+    # prune (one extra uncached scan beats re-running extraction twice).
+    if prune_rare is None:
+        prune_rare = "auto" if cache_links else True
+    co_decision: dict = {}
     co = cooccurrence_edges(
         links,
         doc_col="doc_id",
@@ -259,6 +267,8 @@ def build_kg(
         min_count=min_cooccur,
         max_entities_per_doc=max_entities_per_doc,
         encode_ids=cache_links and max_entities_per_doc is None,
+        prune_rare=prune_rare,
+        decision_log=co_decision,
         # links is distinct per (doc, entity) on BOTH strategy paths
         # (fused per-doc dedup / explicit .distinct()), so the a-priori
         # df prune is a plain count
@@ -272,8 +282,11 @@ def build_kg(
         F.col("confidence"),
     )
 
-    # ⑦ idempotent materialization
+    # ⑦ idempotent materialization — the co-occurrence plan decision
+    # rides along in the commit's lineage row (VERDICT r4 item 7)
     if triples_sink is not None:
-        triples_sink.merge_append(triples, run_id=run_id)
+        triples_sink.merge_append(
+            triples, run_id=run_id, extra_lineage={"cooccurrence": co_decision}
+        )
 
     return KGResult(docs=docs, links=links, nodes=nodes, triples=triples)

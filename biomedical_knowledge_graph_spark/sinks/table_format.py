@@ -101,11 +101,32 @@ class SnapshotTable:
         return os.path.join(self._data_dir(), f"_snap={snap}")
 
     def current_files(self) -> list[str]:
-        """Live snapshot roots (``.../data/_snap=<n>`` dirs)."""
+        """Live snapshot roots (``.../data/_snap=<n>`` dirs).
+
+        Manifest entries are re-rooted under THIS handle's ``root``
+        spelling: the manifest stores the writing handle's path strings,
+        and an equivalent-but-differently-spelled root (``./tbl`` vs
+        ``tbl``, abspath vs relative, a symlinked parent) must not change
+        which snapshots are considered live — vacuum deletes anything not
+        in this list, so a string mismatch here would be data loss."""
         snap = self._head()
         if snap == 0:
             return []
-        return self._manifest(snap)["files"]
+        return [self._snap_dir(n) for n in self._live_snap_numbers(snap)]
+
+    def _live_snap_numbers(self, head: int) -> list[int]:
+        """Snapshot numbers referenced by the HEAD manifest, parsed from
+        each entry's ``_snap=<n>`` basename (spelling-independent)."""
+        out = []
+        for f in self._manifest(head)["files"]:
+            base = os.path.basename(os.path.normpath(f))
+            prefix, _, num = base.partition("=")
+            if prefix != "_snap" or not num.isdigit():
+                raise ValueError(
+                    f"corrupt manifest entry {f!r} in snapshot {head}"
+                )
+            out.append(int(num))
+        return out
 
     def lineage(self) -> list[dict]:
         """Per-commit lineage rows: snapshot, run_id, rows added, wall time."""
@@ -174,13 +195,20 @@ class SnapshotTable:
             existing = existing.filter(pred)
         return existing
 
-    def merge_append(self, df: DataFrame, run_id: str | None = None) -> dict:
+    def merge_append(
+        self,
+        df: DataFrame,
+        run_id: str | None = None,
+        extra_lineage: dict | None = None,
+    ) -> dict:
         """Append rows whose key is not yet committed (Iceberg
         ``MERGE INTO ... WHEN NOT MATCHED INSERT`` / J2 duplicate-edge
         anti-join, go_kg_builder.py:1317-1343). Returns the lineage row.
 
         Idempotent: re-running the same staged batch after a crash commits
-        zero new rows."""
+        zero new rows. ``extra_lineage``: caller-supplied JSON-serializable
+        fields merged into the lineage row (plan decisions, upstream
+        counters) — reserved keys win over collisions."""
         spark = df.sparkSession
         t0 = time.time()
         reserved = {"_snap", "_bucket"} & set(df.columns)
@@ -251,6 +279,7 @@ class SnapshotTable:
                 p.unpersist()
 
         lineage = {
+            **(extra_lineage or {}),
             "snapshot": snap,
             "run_id": run_id or uuid.uuid4().hex,
             "rows_added": added,
@@ -297,7 +326,18 @@ class SnapshotTable:
         """Rewrite all live snapshots into one (Iceberg
         ``rewrite_data_files`` + ``expire_snapshots`` analogue): bounds
         file count and manifest size for long-lived tables; the superseded
-        snapshot dirs are deleted after the new manifest commits."""
+        snapshot dirs are deleted after the new manifest commits.
+
+        Concurrency contract (VERDICT r4 item 9): SINGLE WRITER, and
+        readers get snapshot isolation at action granularity. A DataFrame
+        planned from the pre-compaction manifest whose actions COMPLETE
+        before ``compact()`` runs is unaffected; an action still in
+        flight when the post-commit dir deletion lands can fail with
+        FileNotFound and must re-plan via ``read()`` (which re-resolves
+        the manifest) — the same exposure as Iceberg
+        ``expire_snapshots`` with zero retention. Callers needing
+        longer-lived reader leases should defer ``compact()`` (leave
+        ``compact_after=None`` and run it in a maintenance window)."""
         t0 = time.time()
         # crash-window recovery first: a prior compact that died between
         # its manifest commit and dir cleanup leaves superseded _snap dirs
@@ -336,11 +376,17 @@ class SnapshotTable:
     def _vacuum_orphans(self) -> None:
         """Delete committed-then-superseded ``_snap`` dirs (<= HEAD, not in
         the live manifest). Idempotent; safe alongside an in-flight
-        merge_append, whose stage dir is numbered HEAD+1."""
+        merge_append, whose stage dir is numbered HEAD+1.
+
+        Liveness is decided by SNAPSHOT NUMBER, never by path-string
+        equality: the manifest stores the writer's spelling of each root,
+        and comparing strings would mark every live dir orphaned when the
+        table is reopened under an equivalent spelling (``./tbl`` vs
+        ``tbl``) — deleting the whole table on a routine compact."""
         head = self._head()
         if head == 0:
             return
-        live = set(self.current_files())
+        live_snaps = set(self._live_snap_numbers(head))
         data_dir = self._data_dir()
         if not os.path.isdir(data_dir):
             return
@@ -351,9 +397,10 @@ class SnapshotTable:
                 n = int(entry.split("=", 1)[1])
             except ValueError:  # pragma: no cover - foreign dir, leave it
                 continue
-            full = os.path.join(data_dir, entry)
-            if n <= head and full not in live:
-                shutil.rmtree(full, ignore_errors=True)
+            if n <= head and n not in live_snaps:
+                shutil.rmtree(
+                    os.path.join(data_dir, entry), ignore_errors=True
+                )
 
     def count(self, spark: SparkSession) -> int:
         df = self.read(spark)

@@ -106,6 +106,7 @@ def sessionize_stream(
     user_col: str = "user_id",
     gap_minutes: int = 30,
     watermark: str = "1 hour",
+    value_col: str | None = "value",
 ) -> DataFrame:
     """Streaming-NATIVE sessionization (round-4, VERDICT r3 item 5):
     ``session_window`` keeps per-(user, open-session) state in the state
@@ -119,21 +120,26 @@ def sessionize_stream(
     ``last_event_ts + gap`` (Spark session_window contract; an event at
     exactly a session's current end MERGES into it). Works on batch
     frames too (same aggregate, watermark ignored), which is how the
-    equivalence test pins stream ≡ batch ≡ the lag/cumsum ``sessionize``."""
+    equivalence test pins stream ≡ batch ≡ the lag/cumsum ``sessionize``.
+
+    ``value_col`` (ADVICE r4): the column summed into ``sum_value``;
+    pass ``None`` to skip the sum for frames without a value column —
+    previously hardcoded to ``'value'``, which raised AnalysisException
+    for any caller parameterizing ts/user on such a frame."""
     win = F.session_window(F.col(ts_col), f"{gap_minutes} minutes")
+    aggs = [F.count("*").alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("sum_value"))
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(win.alias("win"), F.col(user_col))
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum("value").alias("sum_value"),
-        )
+        .agg(*aggs)
         .select(
             F.col(user_col),
             F.col("win.start").alias("session_start"),
             F.col("win.end").alias("session_end"),
             "n_events",
-            "sum_value",
+            *(["sum_value"] if value_col is not None else []),
         )
     )
 

@@ -146,3 +146,93 @@ def test_apriori_prune_is_exact(spark):
         )
     )
     assert got_d == want
+
+
+def test_prune_rare_auto_mode(spark):
+    """Round 5 (VERDICT r4 items 2/7): prune_rare='auto' probes the exact
+    df distribution and decides per-input; output is identical to both
+    forced settings either way, and the decision (plus the measured
+    rare-row fraction) lands in the caller's decision_log."""
+    from biomedical_knowledge_graph_spark.operators.cooccurrence import (
+        cooccurrence_edges,
+    )
+
+    # long-tailed input: 3 of 15 link rows (= 20% > 10% threshold) carry
+    # sub-min_count entities -> auto prunes
+    rows = []
+    for d in range(5):
+        rows += [(f"d{d}", "A"), (f"d{d}", "B")]
+    rows += [("d0", "C"), ("d1", "C"), ("d2", "D"), ("d0", "E"), ("d3", "F")]
+    tailed = spark.createDataFrame(rows, "doc_id string, canonical_id string")
+    want = sorted(
+        map(
+            tuple,
+            cooccurrence_edges(tailed, min_count=3, prune_rare=False).collect(),
+        )
+    )
+    log: dict = {}
+    got = sorted(
+        map(
+            tuple,
+            cooccurrence_edges(
+                tailed, min_count=3, prune_rare="auto", decision_log=log
+            ).collect(),
+        )
+    )
+    assert got == want
+    assert log["prune_rare"] is True and log["prune_rare_mode"] == "auto"
+    assert abs(log["rare_row_frac"] - 5 / 15) < 1e-6  # logged at 6 dp
+
+    # dense input: every entity is frequent -> auto skips the prune
+    dense_rows = [
+        (f"d{d}", e) for d in range(4) for e in ("A", "B", "C")
+    ]
+    dense = spark.createDataFrame(
+        dense_rows, "doc_id string, canonical_id string"
+    )
+    want_dense = sorted(
+        map(
+            tuple,
+            cooccurrence_edges(dense, min_count=3, prune_rare=True).collect(),
+        )
+    )
+    log2: dict = {}
+    got_dense = sorted(
+        map(
+            tuple,
+            cooccurrence_edges(
+                dense, min_count=3, prune_rare="auto", decision_log=log2
+            ).collect(),
+        )
+    )
+    assert got_dense == want_dense and len(got_dense) == 3
+    assert log2["prune_rare"] is False and log2["rare_row_frac"] == 0.0
+
+    # auto under the fan-out cap: prune ineligible, logged as such
+    log3: dict = {}
+    cooccurrence_edges(
+        dense,
+        min_count=3,
+        prune_rare="auto",
+        max_entities_per_doc=2,
+        decision_log=log3,
+    ).collect()
+    assert log3["prune_rare"] is False and log3["rare_row_frac"] is None
+
+
+def test_pipeline_lineage_records_prune_decision(spark, tmp_path):
+    """build_kg(prune_rare='auto') surfaces the co-occurrence plan
+    decision in the snapshot sink's lineage row (VERDICT r4 item 7)."""
+    pages = spark.createDataFrame(
+        fixtures.pages_pdf(n_pages=60, seed=7), schema=fixtures.PAGES_SCHEMA
+    )
+    dim = fixtures.entity_dict_df(spark)
+    sink = SnapshotTable(
+        str(tmp_path / "triples"), key_cols=["subj", "pred", "obj"]
+    )
+    build_kg(spark, pages, dim, triples_sink=sink, run_id="r5auto")
+    row = sink.lineage()[-1]
+    assert row["run_id"] == "r5auto"
+    co = row["cooccurrence"]
+    assert co["prune_rare_mode"] == "auto"
+    assert isinstance(co["prune_rare"], bool)

@@ -253,3 +253,96 @@ def test_compaction_crash_window(spark, tmp_path, monkeypatch):
     # and the table still accepts new commits
     r = t.merge_append(_df(spark, [("a", "b", 9), ("g", "h", 4)]), run_id="r4")
     assert r["rows_added"] == 1
+
+
+def test_vacuum_survives_respelled_root(spark, tmp_path):
+    """ADVICE r4 (high): liveness in vacuum is decided by snapshot NUMBER.
+
+    A table committed under one spelling of its root and reopened under an
+    equivalent-but-differently-spelled one ('/x/tbl' vs '/x/./tbl' vs a
+    symlinked parent) must not treat every live snapshot as an orphan — a
+    string comparison against the manifest's stored paths did exactly
+    that, and a routine merge_append (via compact_after -> compact ->
+    vacuum) destroyed the table."""
+    canonical = str(tmp_path / "tbl")
+    link = tmp_path / "alias"
+    os.symlink(str(tmp_path), str(link))
+    respellings = [
+        str(tmp_path) + "/./tbl",
+        str(tmp_path) + "//tbl",
+        str(link / "tbl"),
+    ]
+    t1 = SnapshotTable(canonical, key_cols=["subj", "obj"], compact_after=2)
+    t1.merge_append(_df(spark, [("a", "b", 1)]), run_id="r1")
+    t1.merge_append(_df(spark, [("c", "d", 2)]), run_id="r2")
+
+    # reopen under every equivalent spelling and vacuum via compact()
+    for respelled in respellings:
+        t2 = SnapshotTable(respelled, key_cols=["subj", "obj"])
+        t2.compact(spark, run_id=f"compact-{respelled}")
+        rows = {(r.subj, r.obj, r.w) for r in t2.read(spark).collect()}
+        assert rows == {("a", "b", 1), ("c", "d", 2)}, respelled
+
+    # and a routine append through a respelled handle (the reproduced
+    # disaster path: merge_append -> auto-compact -> vacuum) is safe too
+    t3 = SnapshotTable(
+        respellings[0], key_cols=["subj", "obj"], compact_after=1
+    )
+    t3.merge_append(_df(spark, [("e", "f", 3)]), run_id="r3")
+    rows = {(r.subj, r.obj, r.w) for r in t3.read(spark).collect()}
+    assert rows == {("a", "b", 1), ("c", "d", 2), ("e", "f", 3)}
+    t3.assert_unique_keys(spark)
+
+
+def test_vacuum_still_reclaims_true_orphans_after_respell(spark, tmp_path, monkeypatch):
+    """The respell fix must not break reclamation: a genuinely superseded
+    dir (numbered <= HEAD, absent from the manifest) is still deleted
+    when the table is vacuumed under a different root spelling."""
+    import shutil as _shutil
+
+    import biomedical_knowledge_graph_spark.sinks.table_format as tf
+
+    t = SnapshotTable(str(tmp_path / "v"), key_cols=["subj", "obj"])
+    t.merge_append(_df(spark, [("a", "b", 1)]), run_id="r1")
+    t.merge_append(_df(spark, [("c", "d", 2)]), run_id="r2")
+    # crash-window orphan: compact commits its manifest but dies in cleanup
+    real_rmtree = _shutil.rmtree
+
+    def dying_rmtree(path, *a, **kw):
+        raise OSError("simulated crash during cleanup")
+
+    monkeypatch.setattr(tf.shutil, "rmtree", dying_rmtree)
+    try:
+        t.compact(spark, run_id="c1")
+    except OSError:
+        pass
+    monkeypatch.setattr(tf.shutil, "rmtree", real_rmtree)
+    data_dir = str(tmp_path / "v" / "data")
+    assert len([d for d in os.listdir(data_dir) if d.startswith("_snap=")]) == 3
+
+    # reopen under a respelled root: vacuum reclaims the two stale
+    # dirs and keeps the live one
+    t2 = SnapshotTable(str(tmp_path) + "/./v", key_cols=["subj", "obj"])
+    t2.compact(spark, run_id="c2")
+    left = [d for d in os.listdir(data_dir) if d.startswith("_snap=")]
+    assert left == ["_snap=3"]
+    rows = {(r.subj, r.obj, r.w) for r in t2.read(spark).collect()}
+    assert rows == {("a", "b", 1), ("c", "d", 2)}
+
+
+def test_reader_snapshot_isolation_across_compact(spark, tmp_path):
+    """VERDICT r4 item 9: reader contract under compaction. A DataFrame
+    whose actions COMPLETE before compact() runs is unaffected (its
+    results are already materialized); a fresh read() after compact
+    re-resolves the manifest and sees identical content. The documented
+    contract is single-writer + action-granularity snapshot isolation:
+    in-flight actions racing the post-commit dir deletion are the same
+    exposure as Iceberg expire_snapshots with zero retention."""
+    t = SnapshotTable(str(tmp_path / "iso"), key_cols=["subj", "obj"])
+    t.merge_append(_df(spark, [("a", "b", 1)]), run_id="r1")
+    t.merge_append(_df(spark, [("c", "d", 2)]), run_id="r2")
+    pre = t.read(spark)
+    pre_rows = {(r.subj, r.obj, r.w) for r in pre.collect()}  # completed action
+    t.compact(spark, run_id="c")
+    post_rows = {(r.subj, r.obj, r.w) for r in t.read(spark).collect()}
+    assert pre_rows == post_rows == {("a", "b", 1), ("c", "d", 2)}

@@ -66,6 +66,27 @@ def probe(fn, procs_list, tasks: int = 64, reps: int = 2) -> dict:
     return res
 
 
+def probe_weak(fn, procs_list, tasks_per_proc: int = 4, reps: int = 2) -> dict:
+    """WEAK-scaling probe: total work scales WITH procs (tasks_per_proc
+    fixed), so the ideal is equal wall at every size; res[hi]/res[lo] > 1
+    is the box's own weak-scaling penalty (scheduling + shared cache/BW
+    contention) — the ceiling the pipeline's weak efficiency is judged
+    against."""
+    import multiprocessing as mp
+
+    res = {}
+    for procs in procs_list:
+        tasks = procs * tasks_per_proc
+        best = 1e18
+        for _ in range(reps):
+            t0 = time.time()
+            with mp.Pool(procs) as p:
+                p.map(fn, range(tasks))
+            best = min(best, time.time() - t0)
+        res[procs] = round(best, 2)
+    return res
+
+
 def phase_run(total_cores: int, pages_path: str) -> dict:
     """One pipeline run with each phase persisted + counted separately.
     Runs in its own subprocess/session (local-cluster, 4-core workers)."""
@@ -187,9 +208,104 @@ def phase_run(total_cores: int, pages_path: str) -> dict:
     return {"cores": total_cores, "walls": walls, "triples": n_triples}
 
 
+def weak_main() -> None:
+    """Weak-scaling diagnosis (round 5, VERDICT r4 item 5): 4 cores on the
+    base corpus vs 16 cores on 4x the corpus — per-core work nominally
+    constant. Reports per-phase walls at both sizes, the box's own weak
+    probes (CPU + membw, work scaled with procs), and the Amdahl blend of
+    those probes for this job's phase mix — naming which phase's per-core
+    work GROWS with corpus size (the pairs aggregate keyspace) and what
+    the binding resource is.
+
+    Usage: python tools/bench_phase_scaling.py --weak [base_pages] [reps]
+    """
+    base_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 120_000
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+
+    # phase class -> probe, per the r4 bracket: extract/scan are
+    # compute-bound (per-row Python/regex work), the pair explosion +
+    # hash aggregate is memory-bandwidth-bound (shuffle/hash traffic)
+    phase_probe = {"extract": "cpu", "scan_link_fused": "cpu", "pairs": "membw"}
+
+    cpu_w = probe_weak(_burn, [4, 16])
+    mem_w = probe_weak(_stream, [4, 16])
+    probes = {"cpu_weak_probe_s": cpu_w, "membw_weak_probe_s": mem_w}
+    print(json.dumps(probes), flush=True)
+
+    from biomedical_knowledge_graph_spark import fixtures
+    from biomedical_knowledge_graph_spark.session import new_session
+
+    tmp = tempfile.mkdtemp(prefix="bkg_weak_")
+    paths = {}
+    try:
+        spark = new_session("bkg-gen", master="local[16]")
+        aliases = [a for a, _, _ in fixtures.synthetic_alias_specs(5000, seed=42)]
+        for cores, n in ((4, base_pages), (16, base_pages * 4)):
+            p = os.path.join(tmp, f"pages_{n}")
+            fixtures.generate_pages_distributed(
+                spark, n, aliases, seed=42, partitions=256
+            ).write.mode("overwrite").parquet(p)
+            paths[cores] = p
+        spark.stop()
+
+        best: dict[int, dict] = {}
+        for _ in range(reps):
+            for cores in (4, 16):  # interleaved ABAB
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--phase-run",
+                     str(cores), paths[cores]],
+                    capture_output=True, text=True, check=True,
+                )
+                r = json.loads(out.stdout.strip().splitlines()[-1])
+                print(json.dumps(r), flush=True)
+                cur = best.get(cores)
+                if cur is None:
+                    best[cores] = r
+                else:
+                    for k, v in r["walls"].items():
+                        cur["walls"][k] = min(cur["walls"][k], v)
+        lo, hi = best[4]["walls"], best[16]["walls"]
+        # weak efficiency per phase: ideal is equal wall -> lo/hi
+        per_phase_eff = {
+            k: round(lo[k] / hi[k], 3) for k in lo if k != "total"
+        }
+        # blended achievable: each phase's predicted high wall is its low
+        # wall divided by the box's own weak efficiency for its resource
+        probe_eff = {
+            "cpu": cpu_w[4] / cpu_w[16],
+            "membw": mem_w[4] / mem_w[16],
+        }
+        pred_hi_total = sum(
+            lo[k] / probe_eff[phase_probe.get(k, "cpu")]
+            for k in lo
+            if k != "total"
+        )
+        lo_total = sum(v for k, v in lo.items() if k != "total")
+        hi_total = sum(v for k, v in hi.items() if k != "total")
+        print(json.dumps({
+            "base_pages": base_pages,
+            "per_phase_low_4c": lo,
+            "per_phase_high_16c_4x": hi,
+            "per_phase_weak_eff": per_phase_eff,
+            "probe_weak_eff": {k: round(v, 3) for k, v in probe_eff.items()},
+            "weak_eff_measured": round(lo_total / hi_total, 3),
+            "weak_eff_predicted_blend": round(lo_total / pred_hi_total, 3),
+            "vs_achievable": round(
+                (lo_total / hi_total) / (lo_total / pred_hi_total), 3
+            ),
+            "triples_low": best[4]["triples"],
+            "triples_high": best[16]["triples"],
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--phase-run":
         print(json.dumps(phase_run(int(sys.argv[2]), sys.argv[3])))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--weak":
+        weak_main()
         return
 
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
