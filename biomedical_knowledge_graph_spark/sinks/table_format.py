@@ -415,3 +415,173 @@ class SnapshotTable:
         )
         if dupes:
             raise AssertionError(f"{dupes} duplicate keys in {self.root}")
+
+
+class AggregatingSnapshotTable(SnapshotTable):
+    """MERGE-ON-READ counter table (round 5): the additive-aggregate side
+    of the Iceberg merge-on-read / LSM-tree pattern.
+
+    For ADDITIVE value columns (counts, sums, min/max) the key-based
+    anti-join MERGE is the wrong tool — an increment does not need to know
+    whether a key exists, it needs its contribution ADDED. So:
+
+    - ``delta_append`` commits the increment's PARTIAL rows as-is (one
+      cheap pre-aggregated append; no read of the committed table, no
+      anti-join, no shuffle against existing data — per-commit cost is
+      proportional to the increment alone, never to table size);
+    - ``read_merged`` folds all deltas at read time (one groupBy over the
+      single multi-snapshot FileScan; map-side partial aggregation does
+      most of the work before the shuffle);
+    - ``compact`` (inherited trigger, overridden body) collapses the
+      deltas back to one row per key, bounding read amplification — the
+      LSM compaction analogue, auto-run via ``compact_after``.
+
+    Exactly-once is BATCH-granular, not row-granular: every commit's
+    ``run_id`` is recorded in its manifest lineage, and ``delta_append``
+    with an already-committed run_id is a no-op — a crashed-and-replayed
+    increment can never double its counts. (Manifest files persist across
+    compaction, so replay protection survives it.) This is precisely the
+    foreachBatch/epoch-id contract Structured Streaming needs from an
+    idempotent sink.
+
+    Primary use: incremental KG construction (plans/pipeline.py
+    ``build_kg_increment``) — co-occurrence counts over DISJOINT document
+    batches are additive, so each crawl increment appends its partial
+    pair counts and the published edge view thresholds/tiers the merged
+    totals at read time.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        key_cols: list[str],
+        agg_spec: dict[str, str],
+        bucket_expr: str | None = None,
+        compact_after: int | None = None,
+    ):
+        super().__init__(
+            root,
+            key_cols,
+            partition_cols=None,
+            bucket_expr=bucket_expr,
+            compact_after=compact_after,
+        )
+        bad = set(agg_spec.values()) - {"sum", "min", "max"}
+        if bad:
+            raise ValueError(f"unsupported merge functions: {sorted(bad)}")
+        self.agg_spec = dict(agg_spec)
+
+    # -- replay protection ----------------------------------------------------
+    def committed_run_ids(self) -> set[str]:
+        return {row["run_id"] for row in self.lineage()}
+
+    def _merge_exprs(self) -> list:
+        return [
+            F.expr(f"{fn}({col})").alias(col)
+            for col, fn in self.agg_spec.items()
+        ]
+
+    def delta_append(
+        self,
+        df: DataFrame,
+        run_id: str,
+        extra_lineage: dict | None = None,
+    ) -> dict:
+        """Commit one increment's partial aggregates. Idempotent per
+        run_id (replays are no-ops). The staged frame must carry exactly
+        key_cols + agg columns."""
+        if not run_id:
+            raise ValueError(
+                "delta_append requires an explicit run_id — it is the "
+                "exactly-once replay key"
+            )
+        t0 = time.time()
+        expected = set(self.key_cols) | set(self.agg_spec)
+        got = set(df.columns)
+        if got != expected:
+            raise ValueError(
+                f"staged columns {sorted(got)} != contract {sorted(expected)}"
+            )
+        if run_id in self.committed_run_ids():
+            return {"run_id": run_id, "rows_added": 0, "replayed": True}
+        # pre-aggregate the increment per key: the stored delta is as
+        # small as this increment allows, and the write shuffles only the
+        # increment's keyspace
+        staged = df.groupBy(self.key_cols).agg(*self._merge_exprs())
+        part_cols = []
+        if self.bucket_expr:
+            staged = staged.withColumn("_bucket", F.expr(self.bucket_expr))
+            part_cols.append("_bucket")
+        staged = staged.persist()
+        try:
+            added = staged.count()
+            snap = self._head() + 1
+            if added:
+                self._write_snapshot(
+                    staged.withColumn("_snap", F.lit(snap)),
+                    snap,
+                    ["_snap"] + part_cols,
+                )
+        finally:
+            staged.unpersist()
+        lineage = {
+            **(extra_lineage or {}),
+            "snapshot": snap,
+            "run_id": run_id,
+            "rows_added": added,
+            "key_cols": self.key_cols,
+            "agg_spec": self.agg_spec,
+            "wall_s": round(time.time() - t0, 3),
+        }
+        files = self.current_files() + ([self._snap_dir(snap)] if added else [])
+        self._commit(snap, files, lineage)
+        if self.compact_after and len(files) > self.compact_after:
+            self.compact(df.sparkSession, run_id=f"{run_id}-compact")
+        return lineage
+
+    def read_merged(self, spark: SparkSession) -> DataFrame | None:
+        """One row per key with fully merged aggregates (threshold/tier
+        on top of THIS, never on the raw deltas)."""
+        df = self.read(spark)
+        if df is None:
+            return None
+        return df.groupBy(self.key_cols).agg(*self._merge_exprs())
+
+    def compact(self, spark: SparkSession, run_id: str | None = None) -> dict:
+        """LSM compaction: rewrite all deltas as one merged snapshot.
+        Read-time semantics are unchanged (merge functions are
+        associative); read amplification drops to one file set."""
+        t0 = time.time()
+        self._vacuum_orphans()
+        old_files = self.current_files()
+        if len(old_files) <= 1:
+            return {"compacted": 0}
+        merged = self.read_merged(spark)
+        part_cols = []
+        if self.bucket_expr:
+            merged = merged.withColumn("_bucket", F.expr(self.bucket_expr))
+            part_cols.append("_bucket")
+        snap = self._head() + 1
+        rows = merged.persist().count()
+        try:
+            self._write_snapshot(
+                merged.withColumn("_snap", F.lit(snap)),
+                snap,
+                ["_snap"] + part_cols,
+            )
+        finally:
+            merged.unpersist()
+        lineage = {
+            "snapshot": snap,
+            "run_id": run_id or uuid.uuid4().hex,
+            "rows_added": 0,
+            "compacted_snapshots": len(old_files),
+            "rows_total": rows,
+            "key_cols": self.key_cols,
+            "agg_spec": self.agg_spec,
+            "wall_s": round(time.time() - t0, 3),
+        }
+        self._commit(snap, [self._snap_dir(snap)], lineage)
+        for f in old_files:
+            shutil.rmtree(f, ignore_errors=True)
+        return lineage

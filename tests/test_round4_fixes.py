@@ -41,12 +41,15 @@ def test_registry_ordering_contract():
     ):
         assert names.index(crit) < 50
     # and the deferred slots hold only redundant / verification-only
-    # queries, never first-class operators
+    # queries, never first-class operators (kg_triples_incremental's
+    # emitted rows are identical to the driver-checked kg_triples — the
+    # incremental write path it adds is pinned by tests/test_incremental)
     for name in DEFERRED:
         q = REGISTRY[name]
         assert q.verification_only or name in (
             "kg_entity_doc_counts",
             "ann_ivf_sampled_topk",
+            "kg_triples_incremental",
         )
 
 
