@@ -162,6 +162,27 @@ def stream_merge_to_table(
     )
 
 
+def stream_delta_to_table(stream: DataFrame, table, checkpoint_dir: str):
+    """writeStream → foreachBatch delta-append into an
+    ``AggregatingSnapshotTable`` (round 5): streaming INCREMENTAL counter
+    maintenance. The sink's run_id-keyed batch-exactly-once contract maps
+    1:1 onto Structured Streaming's epoch ids — a micro-batch replayed
+    after a crash (same epoch_id) is an exact no-op, so counts never
+    double even though the append path has no anti-join. Returns the
+    StreamingQuery."""
+
+    def delta_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.isEmpty():
+            table.delta_append(batch_df, run_id=f"epoch-{epoch_id}")
+
+    return (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(delta_batch)
+        .start()
+    )
+
+
 def stateful_running_counts(
     stream: DataFrame, key_col: str = "event_type"
 ) -> DataFrame:

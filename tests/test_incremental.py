@@ -173,3 +173,45 @@ def test_delta_append_contract_errors(spark, tmp_path):
         AggregatingSnapshotTable(
             str(tmp_path / "d"), key_cols=["k"], agg_spec={"v": "avg"}
         )
+
+
+def test_stream_delta_to_table(spark, tmp_path):
+    """Streaming incremental counts: micro-batches delta-append into the
+    counter table via foreachBatch with epoch-id replay keys; the merged
+    result equals a batch aggregation of the same rows."""
+    from biomedical_knowledge_graph_spark.streaming import events as streaming
+
+    src = str(tmp_path / "src")
+    rows = [(f"k{i % 5}", f"j{i % 3}", 1) for i in range(60)]
+    df = spark.createDataFrame(rows, "subj string, obj string, weight long")
+    df.write.mode("overwrite").parquet(src)
+
+    table = AggregatingSnapshotTable(
+        str(tmp_path / "counts"),
+        key_cols=["subj", "obj"],
+        agg_spec={"weight": "sum"},
+    )
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = streaming.stream_delta_to_table(
+        stream, table, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.subj, r.obj): r.weight for r in table.read_merged(spark).collect()
+    }
+    want = {
+        (r.subj, r.obj): r["sum(weight)"]
+        for r in df.groupBy("subj", "obj").sum("weight").collect()
+    }
+    assert got == want and len(got) == 15
+    # epoch replay protection: re-appending an already-seen epoch id is a
+    # no-op even straight through the table API
+    replay = table.delta_append(df, run_id="epoch-0")
+    assert replay["replayed"] is True
+    got2 = {
+        (r.subj, r.obj): r.weight for r in table.read_merged(spark).collect()
+    }
+    assert got2 == want
