@@ -86,7 +86,10 @@ def main() -> None:
     # min-of-N per query: the host is shared and identical jobs vary 5-10x
     # run to run, so n=1 numbers are noise, not signal (reps interleaved so
     # one transient host stall cannot inflate every rep of one query)
-    reps = int(os.environ.get("BKG_BENCH_REPS", "2"))
+    # 3 reps: this host's noise is bimodal and one quiet rep per query is
+    # the signal — two reps measurably under-sample it (r5: kg_cc read
+    # 4.96 s at 2 reps vs 3.21 s min-of-4 in a dedicated session)
+    reps = int(os.environ.get("BKG_BENCH_REPS", "3"))
     timings = {name: float("inf") for name in HEADLINE}
     for _ in range(reps):
         for name in HEADLINE:
