@@ -191,6 +191,18 @@ def _word_bounded(text: str, start: int, end: int) -> bool:
 
 _AUTOMATON_CACHE: dict[tuple, object] = {}
 
+# Whitespace-as-token-separator (round-5 parity fix): multi-word aliases
+# are stored space-separated, but extracted text separates lines with
+# '\n' — a literal scan misses any alias spanning a line break, while the
+# whitespace-tokenized paths (scan_mentions_token_join splitting on \s+,
+# and the reference ruleset the P/R gate pins) match it. Translating each
+# whitespace char 1:1 to ' ' before scanning makes the in-worker scanners
+# EXACTLY equal to whitespace tokenization — extraction guarantees no
+# whitespace runs (lines are single-spaced and stripped, joined by single
+# '\n'), and the translation preserves length so begin/end offsets remain
+# valid positions in the original text.
+_WS_TO_SPACE = str.maketrans({c: " " for c in "\t\n\r\f\v"})
+
 
 def scan_mentions(
     docs: DataFrame,
@@ -203,7 +215,11 @@ def scan_mentions(
     """docs(id, text, ...) → mentions(id, surface, begin, end).
 
     Matching is case-insensitive (aliases are lowered; text is lowered for
-    matching, offsets refer to the original text). ``begin``/``end`` are
+    matching, offsets refer to the original text) and WHITESPACE-NEUTRAL:
+    every whitespace char in the text matches the single space separating
+    a multi-word alias's tokens (1:1 translation, length-preserving), so
+    an alias spanning a line break is found — identical token-adjacency
+    semantics to ``scan_mentions_token_join``. ``begin``/``end`` are
     [start, end) character offsets. Caveat shared by both engines: for
     the rare code points whose ``str.lower()`` changes string LENGTH
     (e.g. 'İ' → 'i̇'), offsets are positions in the lowered text, which
@@ -249,7 +265,7 @@ def scan_mentions(
             for doc_id, text in zip(pdf[id_col].values, pdf[text_col].values):
                 if not isinstance(text, str) or not text:
                     continue
-                low = text.lower()
+                low = text.lower().translate(_WS_TO_SPACE)
                 for s, e, pat in scanner.find_all(low):
                     if (
                         word_boundary
@@ -338,7 +354,7 @@ def scan_mentions_linked(
             for doc_id, text in zip(pdf[id_col].values, pdf[text_col].values):
                 if not isinstance(text, str) or not text:
                     continue
-                low = text.lower()
+                low = text.lower().translate(_WS_TO_SPACE)
                 found: set[str] = set()
                 for s, e, pat in scanner.find_all(low):
                     if apply_boundary and not _word_bounded(low, s, e):

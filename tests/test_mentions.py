@@ -201,3 +201,67 @@ def test_regex_trie_scanner_empty_pattern_set():
     assert RegexTrieScanner([], word_boundary=True).find_all("a  b") == []
     assert RegexTrieScanner([], word_boundary=False).find_all("ab") == []
     assert RegexTrieScanner([""]).find_all("anything") == []
+
+
+def test_multiword_alias_spans_line_break(spark):
+    """Round-5 parity fix: a multi-word alias whose tokens are separated
+    by '\\n' in the extracted text (paragraph boundary) must be found by
+    BOTH in-worker scanners and the JVM token_join path — whitespace is a
+    token separator, not a literal. Found as a 6-link divergence on the
+    480k campaign corpus (worker scanners did literal matching and missed
+    every alias spanning a paragraph break)."""
+    from biomedical_knowledge_graph_spark.operators.mentions import (
+        scan_mentions,
+        scan_mentions_linked,
+        scan_mentions_token_join,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "promisable alpha kinase\nbeta unit omega"),
+            ("d2", "alpha kinase beta same line"),
+            ("d3", "tab\tseparated alias here"),
+        ],
+        "doc_id string, text string",
+    )
+    # 'alpha kinase beta' spans the d1 line break; 'separated alias' a tab
+    aliases = ["alpha kinase beta", "separated alias", "omega"]
+
+    for engine in ("regex", "ac"):
+        got = {
+            (r.doc_id, r.surface)
+            for r in scan_mentions(
+                docs, aliases, id_col="doc_id", engine=engine
+            ).collect()
+        }
+        assert ("d1", "alpha kinase beta") in got, engine
+        assert ("d2", "alpha kinase beta") in got, engine
+        assert ("d3", "separated alias") in got, engine
+        assert ("d1", "omega") in got, engine
+
+        linked = {
+            (r.doc_id, r.entity_id)
+            for r in scan_mentions_linked(
+                docs,
+                {a: [(f"E:{i}", "t")] for i, a in enumerate(aliases)},
+                id_col="doc_id",
+                engine=engine,
+            ).collect()
+        }
+        assert ("d1", "E:0") in linked and ("d3", "E:1") in linked, engine
+
+    # and the JVM token_join path agrees on the same rows
+    dim = spark.createDataFrame(
+        [(a, f"E:{i}", "t", "ns", False, None) for i, a in enumerate(aliases)],
+        "alias string, canonical_id string, entity_type string, "
+        "namespace string, is_obsolete boolean, replaced_by string",
+    )
+    tj = {
+        (r.doc_id, r.surface)
+        for r in scan_mentions_token_join(
+            docs, dim, id_col="doc_id", text_col="text"
+        )
+        .selectExpr("doc_id", "surface")
+        .collect()
+    }
+    assert ("d1", "alpha kinase beta") in tj and ("d3", "separated alias") in tj
