@@ -136,6 +136,7 @@ def build_kg(
     mention_strategy: str = "token_join",
     max_entities_per_doc: int | None = None,
     prune_rare: bool | str | None = None,
+    pair_parallelism: int | str | None = "auto",
 ) -> KGResult:
     """mention_strategy:
     - ``token_join`` (default): JVM-only word-n-gram explode + broadcast
@@ -266,6 +267,7 @@ def build_kg(
         ent_col="entity_id",
         min_count=min_cooccur,
         max_entities_per_doc=max_entities_per_doc,
+        pair_parallelism=pair_parallelism,
         encode_ids=cache_links and max_entities_per_doc is None,
         prune_rare=prune_rare,
         decision_log=co_decision,
