@@ -162,18 +162,39 @@ def stream_merge_to_table(
     )
 
 
+def _delta_replay_namespace(checkpoint_dir: str) -> str:
+    """Replay-key namespace for one streaming lineage: epoch ids are only
+    unique within a single checkpoint, so the run_id is prefixed with a
+    digest of the checkpoint's absolute path."""
+    import hashlib
+    import os as _os
+
+    return hashlib.md5(
+        _os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
+
+
 def stream_delta_to_table(stream: DataFrame, table, checkpoint_dir: str):
     """writeStream → foreachBatch delta-append into an
     ``AggregatingSnapshotTable`` (round 5): streaming INCREMENTAL counter
     maintenance. The sink's run_id-keyed batch-exactly-once contract maps
     1:1 onto Structured Streaming's epoch ids — a micro-batch replayed
     after a crash (same epoch_id) is an exact no-op, so counts never
-    double even though the append path has no anti-join. Returns the
-    StreamingQuery."""
+    double even though the append path has no anti-join.
+
+    The replay key is NAMESPACED by the checkpoint location: epoch ids
+    are only unique within one query lineage, so a bare ``epoch-N`` key
+    would collide (silently dropping live batches — run_id is the ONLY
+    dedup on this path) if two queries fed the same table or a reset
+    checkpoint restarted epochs at 0. The checkpoint dir is exactly the
+    boundary within which Spark guarantees epoch-id continuity, so it is
+    the correct namespace; resetting it deliberately starts a new
+    lineage whose batches count as new data. Returns the StreamingQuery."""
+    ns = _delta_replay_namespace(checkpoint_dir)
 
     def delta_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.isEmpty():
-            table.delta_append(batch_df, run_id=f"epoch-{epoch_id}")
+            table.delta_append(batch_df, run_id=f"{ns}-epoch-{epoch_id}")
 
     return (
         stream.writeStream.outputMode("update")

@@ -208,10 +208,23 @@ def test_stream_delta_to_table(spark, tmp_path):
     }
     assert got == want and len(got) == 15
     # epoch replay protection: re-appending an already-seen epoch id is a
-    # no-op even straight through the table API
-    replay = table.delta_append(df, run_id="epoch-0")
+    # no-op even straight through the table API. The run_id the stream
+    # wrote is namespaced by the checkpoint path (epoch ids are only
+    # unique within one query lineage).
+    ns = streaming._delta_replay_namespace(str(tmp_path / "ckpt"))
+    replay = table.delta_append(df, run_id=f"{ns}-epoch-0")
     assert replay["replayed"] is True
     got2 = {
         (r.subj, r.obj): r.weight for r in table.read_merged(spark).collect()
     }
     assert got2 == want
+    # a DIFFERENT lineage's epoch-0 must NOT collide with this one:
+    # same epoch number under another checkpoint dir is new data
+    ns2 = streaming._delta_replay_namespace(str(tmp_path / "ckpt2"))
+    assert ns2 != ns
+    fresh = table.delta_append(df, run_id=f"{ns2}-epoch-0")
+    assert fresh.get("replayed") is not True
+    got3 = {
+        (r.subj, r.obj): r.weight for r in table.read_merged(spark).collect()
+    }
+    assert got3 == {k: 2 * v for k, v in want.items()}
