@@ -139,7 +139,7 @@ def main() -> None:
         "triples_per_sec": round(n_triples / pipe_wall, 1),
         "pages_per_sec": round(n_pages / pipe_wall, 1),
     }
-    deltas = _deltas_vs_previous_round(timings, sf_val, pipeline_block)
+    deltas = _deltas_vs_previous_round(timings, sf_val, pipeline_block, cpus)
     # persist the FULL record locally before printing anything: the
     # driver's BENCH_r*.json tail-captures a bounded window, and a clipped
     # round must never cost a future baseline (VERDICT r4 item 3)
@@ -191,8 +191,13 @@ def _parse_round_file(path: str) -> dict | None:
             prev = json.load(f)
     except (OSError, json.JSONDecodeError):
         return None
+    cpus = prev.get("cpus")  # driver wrapper carries it at the top level
     if isinstance(prev.get("parsed"), dict):
         prev = prev["parsed"]
+    elif isinstance(prev.get("queries"), dict):
+        # raw bench-output line saved via `python bench.py > prev.json`
+        # (supported shape for BKG_PREV_BENCH) — use as-is
+        pass
     elif isinstance(prev.get("tail"), str):
         # clipped tail (r3): everything before '"sf":' is (a suffix of)
         # the queries dict, so name/number pairs there are query walls.
@@ -213,20 +218,32 @@ def _parse_round_file(path: str) -> dict | None:
         return None
     return {
         "sf": prev.get("sf"),
+        "cpus": prev.get("cpus", cpus),
         "queries": prev.get("queries") or {},
         "pipeline": prev.get("pipeline"),
         "source": os.path.basename(path),
     }
 
 
-def _baseline_records(sf_val) -> list[dict]:
+def _cpus_match(rec: dict, cpus) -> bool:
+    """A wall measured at a different core count is not a baseline (an
+    8-core run judged against a 32-core record flags phantom 2-4x
+    regressions, and vice versa masks real ones). Records that don't say
+    (legacy lines) are kept — better a noisy baseline than none."""
+    rc = rec.get("cpus")
+    return rc is None or cpus is None or str(rc) == str(cpus)
+
+
+def _baseline_records(sf_val, cpus=None) -> list[dict]:
     """Candidate baseline records, NEWEST FIRST, from two sources:
     1. BENCH_LOCAL.jsonl — the builder's own per-run full records
        (VERDICT r4 item 3: written locally every run, so deltas never
        depend on the driver's bounded tail-capture window);
     2. the driver's BENCH_r*.json files (numeric round order).
-    Per-query baselines resolve against the first record carrying the
-    query, so one clipped source can never silently drop a baseline."""
+    Filtered to the same sf AND core count; baselines then resolve
+    per-query as the BEST wall across all records, so one clipped source
+    can never drop a baseline and a regressed run can never become its
+    own exculpatory baseline."""
     import glob
     import re
 
@@ -241,7 +258,11 @@ def _baseline_records(sf_val) -> list[dict]:
             r = json.loads(line)
         except json.JSONDecodeError:
             continue
-        if r.get("sf") == sf_val and isinstance(r.get("queries"), dict):
+        if (
+            r.get("sf") == sf_val
+            and isinstance(r.get("queries"), dict)
+            and _cpus_match(r, cpus)
+        ):
             r.setdefault("source", "BENCH_LOCAL.jsonl")
             recs.append(r)
 
@@ -255,7 +276,7 @@ def _baseline_records(sf_val) -> list[dict]:
         reverse=True,
     ):
         r = _parse_round_file(path)
-        if r is not None and r["sf"] == sf_val:
+        if r is not None and r["sf"] == sf_val and _cpus_match(r, cpus):
             recs.append(r)
     return recs
 
@@ -271,50 +292,60 @@ def _append_local_record(record: dict) -> None:
 
 
 def _deltas_vs_previous_round(
-    timings: dict[str, float], sf_val, pipeline: dict | None = None
+    timings: dict[str, float], sf_val, pipeline: dict | None = None, cpus=None
 ) -> dict | None:
     """Round-over-round deltas (VERDICT r2 item 10, hardened r5): compare
-    this run's minima against a MERGED baseline (newest available value
-    per query across BENCH_LOCAL.jsonl + all BENCH_r*.json) and flag
-    >1.5x walls as regressed. The pipeline block gets the same guard on
-    wall/throughput (VERDICT r4 item 4 — r4's 22% pipeline drop sailed
-    through a queries-only guard). Queries with no recoverable baseline
-    anywhere are listed under "unrecoverable" instead of silently
-    skipped. BKG_PREV_BENCH restricts the baseline to one file."""
+    this run's minima against a MERGED baseline — the BEST wall per query
+    across BENCH_LOCAL.jsonl + all BENCH_r*.json at the same sf and core
+    count — and flag >1.5x walls as regressed. Best-not-newest matters:
+    a regressed run appends itself to BENCH_LOCAL.jsonl, so a
+    newest-record baseline would flag each regression exactly once and
+    then adopt it (the r4 kg_cc masking, reborn); against the best-known
+    wall it stays flagged until actually fixed. The pipeline block gets
+    the same guard on wall/throughput (VERDICT r4 item 4 — r4's 22%
+    pipeline drop sailed through a queries-only guard). Queries with no
+    recoverable baseline anywhere are listed under "unrecoverable"
+    instead of silently skipped. BKG_PREV_BENCH restricts the baseline
+    to one file (driver wrapper, raw bench-output JSON, or a clipped
+    tail capture)."""
     prev_path = os.environ.get("BKG_PREV_BENCH")
     if prev_path:
         rec = _parse_round_file(prev_path)
         recs = [rec] if rec is not None and rec["sf"] == sf_val else []
     else:
-        recs = _baseline_records(sf_val)
+        recs = _baseline_records(sf_val, cpus)
     if not recs:
         return None
     per_query = {}
     unrecoverable = []
     for name, t in timings.items():
-        src = next((r for r in recs if name in r["queries"]), None)
-        if src is None:
+        cands = [
+            (r["queries"][name], r["source"])
+            for r in recs
+            if name in r["queries"]
+        ]
+        if not cands:
             unrecoverable.append(name)
             continue
-        p = src["queries"][name]
+        p, src_name = min(cands)
         per_query[name] = {
             "prev_s": p,
             "ratio": round(t / p, 2),
             "regressed": t > 1.5 * p,
-            "vs": src["source"],
+            "vs": src_name,
         }
     regressions = sorted(n for n, d in per_query.items() if d["regressed"])
     pipe_delta = None
     if pipeline is not None:
-        src = next(
-            (
-                r
-                for r in recs
-                if isinstance(r.get("pipeline"), dict)
-                and r["pipeline"].get("pages") == pipeline.get("pages")
-                and r["pipeline"].get("triples_per_sec")
-            ),
-            None,
+        pipe_cands = [
+            (r["pipeline"]["triples_per_sec"], r)
+            for r in recs
+            if isinstance(r.get("pipeline"), dict)
+            and r["pipeline"].get("pages") == pipeline.get("pages")
+            and r["pipeline"].get("triples_per_sec")
+        ]
+        src = (
+            max(pipe_cands, key=lambda c: c[0])[1] if pipe_cands else None
         )
         if src is not None:
             prev_tps = src["pipeline"]["triples_per_sec"]

@@ -196,11 +196,18 @@ _AUTOMATON_CACHE: dict[tuple, object] = {}
 # '\n' — a literal scan misses any alias spanning a line break, while the
 # whitespace-tokenized paths (scan_mentions_token_join splitting on \s+,
 # and the reference ruleset the P/R gate pins) match it. Translating each
-# whitespace char 1:1 to ' ' before scanning makes the in-worker scanners
-# EXACTLY equal to whitespace tokenization — extraction guarantees no
-# whitespace runs (lines are single-spaced and stripped, joined by single
-# '\n'), and the translation preserves length so begin/end offsets remain
-# valid positions in the original text.
+# whitespace char 1:1 to ' ' before scanning equals whitespace
+# tokenization WHEN adjacent tokens are separated by exactly one
+# whitespace char — which this repo's extractor guarantees (lines are
+# single-spaced and stripped, joined by single '\n'). For arbitrary
+# external text containing whitespace RUNS ('a \n b'), the 1:1
+# translation yields multiple spaces and a space-separated alias still
+# misses where \s+-tokenizing paths would match; collapsing runs is not
+# an option here because the translation must preserve length so
+# begin/end offsets remain valid positions in the original text. Callers
+# scanning non-extractor text that needs full \s+ parity should
+# pre-collapse whitespace runs themselves (accepting offset remapping)
+# or use scan_mentions_token_join.
 _WS_TO_SPACE = str.maketrans({c: " " for c in "\t\n\r\f\v"})
 
 
@@ -215,11 +222,14 @@ def scan_mentions(
     """docs(id, text, ...) → mentions(id, surface, begin, end).
 
     Matching is case-insensitive (aliases are lowered; text is lowered for
-    matching, offsets refer to the original text) and WHITESPACE-NEUTRAL:
-    every whitespace char in the text matches the single space separating
-    a multi-word alias's tokens (1:1 translation, length-preserving), so
-    an alias spanning a line break is found — identical token-adjacency
-    semantics to ``scan_mentions_token_join``. ``begin``/``end`` are
+    matching, offsets refer to the original text) and WHITESPACE-NEUTRAL
+    for single-char separators: each whitespace char in the text matches
+    the single space separating a multi-word alias's tokens (1:1
+    translation, length-preserving), so an alias spanning a line break is
+    found — identical token-adjacency semantics to
+    ``scan_mentions_token_join`` on text without whitespace runs (this
+    repo's extractor guarantees that; see the module note on ``_WS_TO_SPACE``
+    for the general case). ``begin``/``end`` are
     [start, end) character offsets. Caveat shared by both engines: for
     the rare code points whose ``str.lower()`` changes string LENGTH
     (e.g. 'İ' → 'i̇'), offsets are positions in the lowered text, which
@@ -234,7 +244,17 @@ def scan_mentions(
         raise ValueError(f"unknown scan engine {engine!r}")
     spark = docs.sparkSession
     id_field = docs.schema[id_col]
-    bc = spark.sparkContext.broadcast(sorted({a.lower() for a in aliases if a}))
+    norm_aliases = sorted({a.lower() for a in aliases if a})
+    bc = spark.sparkContext.broadcast(norm_aliases)
+    # content-derived cache key: id() may be recycled across broadcasts.
+    # Hash the FULL tuple (VERDICT r4 item 8): the sampled v[::97] key
+    # admitted a (vanishingly rare but silent) collision between
+    # equal-length dictionaries agreeing on the sampled elements. The
+    # digest is computed ONCE here on the driver and shipped in the
+    # closure — a worker-side hash would pay the full-tuple walk on
+    # every task, not once per broadcast, because the closure (and the
+    # key it computes) is re-deserialized per task.
+    dict_digest = hash(tuple(norm_aliases))
     out_schema = (
         f"{id_col} {id_field.dataType.simpleString()}, "
         "surface string, begin int, end int"
@@ -242,13 +262,7 @@ def scan_mentions(
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         v = bc.value
-        # content-derived key: id() may be recycled across broadcasts.
-        # Hash the FULL tuple (VERDICT r4 item 8): the sampled v[::97]
-        # key admitted a (vanishingly rare but silent) collision between
-        # equal-length dictionaries agreeing on the sampled elements;
-        # one exact hash per worker per broadcast is amortized across
-        # every batch the worker scans.
-        key = (engine, word_boundary, len(v), hash(tuple(v)))
+        key = (engine, word_boundary, len(v), dict_digest)
         scanner = _AUTOMATON_CACHE.get(key)
         if scanner is None:
             if engine == "regex":
@@ -324,6 +338,13 @@ def scan_mentions_linked(
         if a and v
     )
     bc = spark.sparkContext.broadcast(norm)
+    # exact full-content digest over the (alias, entities) PAIRS — an
+    # alias-only key collides for two link_maps with identical aliases
+    # but different entity ids (ADVICE r4), silently serving stale links
+    # if this cache ever becomes process-shared. Hashed once driver-side
+    # (norm is already materialized here); a worker-side hash would
+    # re-walk the full tuple per task.
+    dict_digest = hash(tuple(norm))
     out_schema = (
         f"{id_col} {id_field.dataType.simpleString()}, "
         "entity_id string, entity_type string"
@@ -331,11 +352,7 @@ def scan_mentions_linked(
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         v = bc.value
-        # exact full-content key over the (alias, entities) PAIRS — an
-        # alias-only key collides for two link_maps with identical
-        # aliases but different entity ids (ADVICE r4), silently serving
-        # stale links if this cache ever becomes process-shared
-        key = ("linked", engine, word_boundary, len(v), hash(tuple(v)))
+        key = ("linked", engine, word_boundary, len(v), dict_digest)
         cached = _AUTOMATON_CACHE.get(key)
         if cached is None:
             aliases = [a for a, _ in v]

@@ -344,6 +344,7 @@ def build_kg_increment(
         run_id=run_id,
         mention_strategy=mention_strategy,
         max_entities_per_doc=max_entities_per_doc,
+        pair_parallelism=pair_parallelism,
         # min_count=1 makes the a-priori prune inapplicable (nothing is
         # below support 1) — skip even the auto probe's action
         prune_rare=False,

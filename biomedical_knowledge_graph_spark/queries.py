@@ -2117,8 +2117,10 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink_root = _tempfile.mkdtemp(prefix="bkg_evsink_")
     ckpt = _tempfile.mkdtemp(prefix="bkg_evckpt_")
     try:
+        # abspath: a relative sf_dir would otherwise be interpreted
+        # relative to the temp stage dir at link-resolution time
         _os.symlink(
-            _os.path.join(sf_dir, "events.parquet"),
+            _os.path.abspath(_os.path.join(sf_dir, "events.parquet")),
             _os.path.join(stage, "part-00000-events.parquet"),
         )
         max_ts = events.agg(F.max("ts")).first()[0]

@@ -182,6 +182,16 @@ def stream_delta_to_table(stream: DataFrame, table, checkpoint_dir: str):
     after a crash (same epoch_id) is an exact no-op, so counts never
     double even though the append path has no anti-join.
 
+    INPUT CONTRACT — ``stream`` must carry per-event DELTA rows (each row
+    an increment to be summed, e.g. raw events or per-batch partials),
+    NOT a streaming aggregation: a ``groupBy(...).count()`` stream in
+    update mode re-emits each key's CUMULATIVE total every epoch, and
+    ``delta_append`` would add those totals together (epoch 1: (A,3),
+    epoch 2: (A,5) → merged 8, not 5), silently and monotonically
+    over-counting. For running aggregates use
+    ``stateful_running_counts`` / ``sessionize_stream`` with
+    ``stream_merge_to_table`` (upsert semantics) instead.
+
     The replay key is NAMESPACED by the checkpoint location: epoch ids
     are only unique within one query lineage, so a bare ``epoch-N`` key
     would collide (silently dropping live batches — run_id is the ONLY
