@@ -236,3 +236,34 @@ def test_pipeline_lineage_records_prune_decision(spark, tmp_path):
     co = row["cooccurrence"]
     assert co["prune_rare_mode"] == "auto"
     assert isinstance(co["prune_rare"], bool)
+
+
+def test_pair_parallelism_reaches_pair_stage(spark):
+    """pair_parallelism must control the partition count of the
+    pair-explosion input all the way from the public entry points (the
+    knob exists because AQE coalesces that stage by its INPUT bytes and
+    starves the output-explosive explode; an explicit repartition(n) is
+    exempt from AQE coalescing). Pinned at the operator level by counting
+    the partitions the explode actually runs over, and at the
+    entry-point level by signature forwarding."""
+    import inspect
+
+    from biomedical_knowledge_graph_spark.operators.cooccurrence import (
+        cooccurrence_edges,
+    )
+    from biomedical_knowledge_graph_spark.plans import pipeline
+
+    links = spark.createDataFrame(
+        [(f"d{i}", f"E{i % 7:02d}") for i in range(200)],
+        "doc_id string, canonical_id string",
+    )
+    edges = cooccurrence_edges(links, min_count=1, pair_parallelism=13)
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    # explicit repartition survives into the physical plan, AQE-exempt
+    assert "RoundRobinPartitioning(13), REPARTITION_BY_NUM" in plan
+    edges.count()  # and executes
+
+    # the knob is forwarded (not silently dropped) by both entry points
+    for fn in (pipeline.build_kg, pipeline.build_kg_increment):
+        src = inspect.getsource(fn)
+        assert "pair_parallelism=pair_parallelism" in src, fn.__name__
