@@ -228,3 +228,66 @@ def test_stream_delta_to_table(spark, tmp_path):
         (r.subj, r.obj): r.weight for r in table.read_merged(spark).collect()
     }
     assert got3 == {k: 2 * v for k, v in want.items()}
+
+
+def test_delta_sequence_property(spark, tmp_path):
+    """Hypothesis: for ANY sequence of delta_append / replayed-append /
+    compact operations, read_merged equals one batch aggregation of the
+    distinct-run_id inputs — across all three merge functions at once.
+    This is the algebraic contract everything incremental rests on
+    (disjoint increments fold exactly; replays and compaction are
+    invisible to the merged view)."""
+    import shutil
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    row = st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(min_value=-5, max_value=5),
+    )
+    batch = st.lists(row, min_size=1, max_size=6)
+    # ops: each entry is (batch_rows, replay_this_batch_again, compact_after)
+    ops = st.lists(
+        st.tuples(batch, st.booleans(), st.booleans()),
+        min_size=1,
+        max_size=4,
+    )
+
+    @given(ops=ops)
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(ops):
+        root = tempfile.mkdtemp(dir=str(tmp_path), prefix="prop_")
+        try:
+            table = AggregatingSnapshotTable(
+                root,
+                key_cols=["k"],
+                agg_spec={"s": "sum", "lo": "min", "hi": "max"},
+            )
+            expect: dict[str, tuple[int, int, int]] = {}
+            for i, (rows, replay, do_compact) in enumerate(ops):
+                df = spark.createDataFrame(
+                    [(k, v, v, v) for k, v in rows],
+                    "k string, s long, lo long, hi long",
+                )
+                table.delta_append(df, run_id=f"inc-{i}")
+                if replay:  # crashed-and-replayed increment: exact no-op
+                    table.delta_append(df, run_id=f"inc-{i}")
+                if do_compact:
+                    table.compact(spark)
+                for k, v in rows:
+                    s, lo, hi = expect.get(k, (0, v, v))
+                    expect[k] = (s + v, min(lo, v), max(hi, v))
+            got = {
+                r.k: (r.s, r.lo, r.hi)
+                for r in table.read_merged(spark).collect()
+            }
+            assert got == expect
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    run()
