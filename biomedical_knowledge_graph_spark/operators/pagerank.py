@@ -1,0 +1,108 @@
+"""Weighted PageRank over the KG edge graph, in EXACT fixed-point
+arithmetic (round 5).
+
+Entity-importance ranking is the standard post-process on a constructed
+knowledge graph (rank entities for canonical-name election, triage, or
+downstream retrieval weighting). The reference has no analogue; this is
+one of the "beyond the reference" graph operators, built Spark-first as
+pure DataFrame joins/aggregations.
+
+Why fixed-point: floating-point PageRank is ORDER-DEPENDENT — a double
+sum over incoming contributions changes with partition count, so two
+runs (or Spark vs an oracle engine) can disagree in the last bits and a
+value-hash comparison fails. Following the fixed-point-Lloyd trick that
+made k-means centroids bit-identical across engines (similarity.py), all
+rank mass here is BIGINT scaled by 2**40:
+
+- ``rank0 = SCALE div n``
+- per-edge contribution ``(rank[src] * w) div out_w[src]`` (floor div)
+- ``rank' = base + (17 * sum_contrib) div 20`` with
+  ``base = (3 * SCALE) div (20 * n)`` — damping 0.85 as the exact
+  rational 17/20, teleport 0.15 as 3/20.
+
+Integer sums are associative/commutative, so the result is bit-identical
+for ANY partitioning and reproducible in ANSI SQL (DuckDB ``//``), which
+is what lets a fixed iteration count be value-hash oracled. Floor-vs-
+truncate divergence doesn't arise: every operand is non-negative.
+
+Scale: each iteration is two shuffles (join ranks to edges on src, then
+re-aggregate on dst) over the edge list — the same shape as one round of
+star-contraction in components.py. Lineage is truncated with
+``localCheckpoint`` per iteration so the plan stays O(1) deep; the edge
+list is symmetrized once up front (an undirected KG edge feeds both
+endpoints), which also removes dangling nodes — every node with an edge
+has out-degree ≥ 1, so no rank mass leaks. Overflow headroom: total rank
+mass ≈ SCALE (2**40) and per-edge ``rank * w`` stays below 2**63 for
+weights up to ~2**22.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1 << 40
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    iterations: int = 5,
+) -> DataFrame:
+    """edges(src, dst, weight) — undirected, one row per edge — →
+    (node, rank_scaled BIGINT, rank DOUBLE). ``rank = rank_scaled /
+    2**40`` is exact (numerator < 2**53, power-of-two divisor), so both
+    columns are engine-portable."""
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).cast("long").alias("w"),
+    )
+    e = e.unionByName(
+        e.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    ).filter(F.col("src") != F.col("dst"))
+    # one symmetrized edge list reused every iteration: persist and
+    # pre-shuffle on src so each iteration's join reuses the exchange
+    e = e.repartition("src").persist()
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("rank_scaled"),
+            F.lit(0.0).alias("rank"),
+        )
+    base = (3 * SCALE) // (20 * n)
+    ew = e.join(out_w, "src")  # (src, dst, w, out_w) — constant per run
+    ranks = nodes.withColumn(
+        "rank_scaled", F.lit(SCALE // n).cast("long")
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        contribs = ew.join(
+            ranks, ew["src"] == ranks["node"]
+        ).select(
+            F.col("dst").alias("node"),
+            F.expr("rank_scaled * w div out_w").alias("c"),
+        )
+        ranks = (
+            contribs.groupBy("node")
+            .agg(
+                (
+                    F.lit(base)
+                    + F.expr("17 * sum(c) div 20")
+                ).alias("rank_scaled")
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return ranks.select(
+        "node",
+        "rank_scaled",
+        (F.col("rank_scaled") / F.lit(float(SCALE))).alias("rank"),
+    )

@@ -77,3 +77,61 @@ def test_resolve_entities_shared_keys(spark):
         for r in resolve_entities(nodes, ["symbol", "uniprot"]).collect()
     }
     assert got == {"E1": "E1", "E2": "E1", "E3": "E1", "E4": "E4", "E5": "E5"}
+
+
+# -- fixed-point PageRank (round 5) -------------------------------------------
+
+
+def _pr(spark, rows, parts=None, iterations=5):
+    from biomedical_knowledge_graph_spark.operators.pagerank import (
+        pagerank_fixed_point,
+    )
+
+    edges = spark.createDataFrame(rows, "src string, dst string, weight long")
+    if parts:
+        edges = edges.repartition(parts)
+    return {
+        r.node: r.rank_scaled
+        for r in pagerank_fixed_point(edges, iterations=iterations).collect()
+    }
+
+
+def test_pagerank_partition_invariant_and_mass_bounded(spark):
+    """Fixed-point arithmetic makes the result BIT-IDENTICAL regardless of
+    partitioning (the property that lets it be value-hash oracled), and
+    total rank mass stays ≈ SCALE (floor divisions only ever LOSE mass,
+    never create it)."""
+    from biomedical_knowledge_graph_spark.operators.pagerank import SCALE
+
+    rows = [
+        ("a", "b", 3), ("b", "c", 1), ("c", "d", 2),
+        ("d", "a", 5), ("a", "c", 1), ("d", "b", 4),
+    ]
+    r1 = _pr(spark, rows, parts=1)
+    r7 = _pr(spark, rows, parts=7)
+    assert r1 == r7 and len(r1) == 4
+    total = sum(r1.values())
+    # every division floors: mass only shrinks, and only slightly
+    assert 0.95 * SCALE < total <= SCALE
+
+
+def test_pagerank_star_center_dominates(spark):
+    """On a weighted star, the hub must out-rank every leaf, and equal
+    leaves must tie exactly (symmetry is preserved bit-for-bit)."""
+    rows = [("hub", f"leaf{i}", 2) for i in range(6)]
+    got = _pr(spark, rows)
+    leaf_ranks = {v for k, v in got.items() if k != "hub"}
+    assert len(leaf_ranks) == 1  # exact tie across symmetric leaves
+    assert got["hub"] > leaf_ranks.pop()
+
+
+def test_pagerank_weight_pulls_rank(spark):
+    """A node attached by a heavier edge to the hub ends up with strictly
+    more rank than one attached by a lighter edge."""
+    rows = [("hub", "heavy", 10), ("hub", "light", 1), ("heavy", "x", 1)]
+    got = _pr(spark, rows)
+    assert got["heavy"] > got["light"]
+
+
+def test_pagerank_empty_graph(spark):
+    assert _pr(spark, []) == {}

@@ -50,6 +50,9 @@ def test_registry_ordering_contract():
             "kg_entity_doc_counts",
             "ann_ivf_sampled_topk",
             "kg_triples_incremental",
+            # ranks over the same driver-checked kg_triples edge graph;
+            # oracled here via test_deferred_queries_match_oracle
+            "kg_pagerank",
         )
 
 
