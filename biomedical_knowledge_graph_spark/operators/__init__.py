@@ -12,4 +12,5 @@ similarity    — cosine top-k ANN (brute force + LSH-bucketed)
 textstats     — language-ID, quality score, token count, fingerprint
 multimodal    — binary-column decode/feature plumbing (decoders stubbed)
 salting       — skew-key salting utility
+pagerank      — weighted PageRank, exact fixed-point (engine-bit-identical)
 """
