@@ -70,8 +70,9 @@ def test_baseline_merges_across_clipped_rounds(tmp_path, monkeypatch):
 
 
 def test_local_history_outranks_round_files(tmp_path, monkeypatch):
-    """BENCH_LOCAL.jsonl (the builder's own full records) wins over the
-    driver's round files, and numeric round order beats lexicographic."""
+    """Baselines resolve to the BEST wall across BENCH_LOCAL.jsonl and
+    the driver's round files (here the local record holds it), and
+    numeric round order beats lexicographic in the merged source list."""
     monkeypatch.setattr(bench, "_HERE", str(tmp_path))
     local = tmp_path / "BENCH_LOCAL.jsonl"
     monkeypatch.setattr(bench, "BENCH_LOCAL", str(local))
@@ -106,3 +107,57 @@ def test_append_local_record_roundtrip(tmp_path, monkeypatch):
     bench._append_local_record(rec)
     lines = open(tmp_path / "hist.jsonl").read().splitlines()
     assert len(lines) == 2 and json.loads(lines[0]) == rec
+
+
+def test_best_wall_baseline_and_noise_adjustment(tmp_path, monkeypatch):
+    """Round-5 late hardening: (1) a regressed run that lands in the
+    local history must NOT become its own exculpatory baseline — the
+    best-known wall keeps flagging until fixed; (2) a uniform host-noise
+    shift (every query ~1.3x) must not flag, while a single-query spike
+    in the same window must; (3) cross-core-count records are excluded."""
+    monkeypatch.setattr(bench, "_HERE", str(tmp_path))
+    local = tmp_path / "BENCH_LOCAL.jsonl"
+    monkeypatch.setattr(bench, "BENCH_LOCAL", str(local))
+    monkeypatch.delenv("BKG_PREV_BENCH", raising=False)
+
+    qs = {f"q{i}": 1.0 for i in range(9)}
+    with open(local, "w") as f:
+        # the good run, then a globally-regressed later run: best wall
+        # must come from the good one
+        f.write(json.dumps({"sf": 0.1, "cpus": "32", "queries": qs}) + "\n")
+        f.write(
+            json.dumps(
+                {
+                    "sf": 0.1,
+                    "cpus": "32",
+                    "queries": {k: 3.0 for k in qs},
+                }
+            )
+            + "\n"
+        )
+        # a 4-core record with tiny walls must NOT pollute 32-core deltas
+        f.write(
+            json.dumps(
+                {"sf": 0.1, "cpus": "4", "queries": {k: 0.01 for k in qs}}
+            )
+            + "\n"
+        )
+
+    # uniform 1.3x window: nothing flags, median reported
+    uniform = {k: 1.3 for k in qs}
+    d = bench._deltas_vs_previous_round(uniform, 0.1, None, "32")
+    assert d["run_median_ratio"] == 1.3
+    assert d["regressions"] == []
+    assert all(v["prev_s"] == 1.0 for v in d["queries"].values())
+
+    # same window + one genuine 3x spike: exactly that query flags
+    spiked = dict(uniform, q0=3.9)
+    d2 = bench._deltas_vs_previous_round(spiked, 0.1, None, "32")
+    assert d2["regressions"] == ["q0"]
+    assert d2["queries"]["q0"]["ratio"] == 3.9
+    assert d2["queries"]["q0"]["adj_ratio"] > 1.5
+
+    # a FAST window must not inflate adj ratios (median clamped to >= 1)
+    fast = {k: 0.5 for k in qs}
+    d3 = bench._deltas_vs_previous_round(dict(fast, q0=1.2), 0.1, None, "32")
+    assert d3["regressions"] == []
