@@ -59,7 +59,10 @@ def pagerank_fixed_point(
         F.col(src).alias("src"),
         F.col(dst).alias("dst"),
         F.col(weight).cast("long").alias("w"),
-    )
+    ).filter(F.col("w") > 0)
+    # w > 0 guarantees out_w >= 1 for every node that survives — the
+    # per-edge `div out_w` can never hit ANSI DIVIDE_BY_ZERO, and a
+    # zero-weight edge carries no rank mass anyway
     e = e.unionByName(
         e.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"

@@ -135,3 +135,11 @@ def test_pagerank_weight_pulls_rank(spark):
 
 def test_pagerank_empty_graph(spark):
     assert _pr(spark, []) == {}
+
+
+def test_pagerank_zero_weight_edges_dropped(spark):
+    """Zero-weight edges carry no rank mass and must not poison out_w
+    with an ANSI divide-by-zero; a node connected only by them drops."""
+    rows = [("a", "b", 2), ("a", "c", 0)]
+    got = _pr(spark, rows)
+    assert set(got) == {"a", "b"}
