@@ -82,7 +82,11 @@ def pagerank_fixed_point(
             F.lit(0.0).alias("rank"),
         )
     base = (3 * SCALE) // (20 * n)
-    ew = e.join(out_w, "src")  # (src, dst, w, out_w) — constant per run
+    # (src, dst, w, out_w) is constant across iterations, but a lazy plan
+    # here would be re-executed by every iteration's eager checkpoint —
+    # the out-degree aggregate and its join would run once per iteration.
+    # Persist it once; each iteration then reads the cached rows only.
+    ew = e.join(out_w, "src").persist()
     ranks = nodes.withColumn(
         "rank_scaled", F.lit(SCALE // n).cast("long")
     ).localCheckpoint(eager=True)
@@ -103,6 +107,7 @@ def pagerank_fixed_point(
             )
             .localCheckpoint(eager=True)
         )
+    ew.unpersist()
     e.unpersist()
     return ranks.select(
         "node",

@@ -161,3 +161,15 @@ def test_best_wall_baseline_and_noise_adjustment(tmp_path, monkeypatch):
     fast = {k: 0.5 for k in qs}
     d3 = bench._deltas_vs_previous_round(dict(fast, q0=1.2), 0.1, None, "32")
     assert d3["regressions"] == []
+
+    # a uniform 2x shift exceeds the documented 1.5x host-drift ceiling:
+    # the median used for normalization is clamped at 1.5 so every query
+    # flags (a shared-code regression must not self-normalize away), and
+    # window_suspect marks the run
+    shifted = {k: 2.5 for k in qs}
+    d4 = bench._deltas_vs_previous_round(shifted, 0.1, None, "32")
+    assert d4["run_median_ratio"] == 2.5
+    assert d4["window_suspect"] is True
+    assert sorted(d4["regressions"]) == sorted(qs)
+    # ... while the uniform-1.3x window reports suspect=False
+    assert d["window_suspect"] is False
