@@ -2403,12 +2403,15 @@ DEFERRED_PAST_DRIVER_CAP = (
     "embedding_near_pairs",
     "kg_entity_doc_counts",
     "ann_ivf_sampled_topk",
-    # round 5: emitted rows identical to the driver-checked kg_triples
-    # (the incremental WRITE path is the new surface; pytest-oracled)
-    "kg_triples_incremental",
-    # round 5: beyond-reference graph op over the SAME driver-checked
-    # edge graph (kg_triples); fully oracled in pytest + oracle_sweep
-    "kg_pagerank",
+    # round 5 re-triage: the two new FIRST-CLASS operators
+    # (kg_triples_incremental — incremental KG construction through the
+    # merge-on-read counter sink — and kg_pagerank — graph analytics over
+    # the KG edge graph) moved INSIDE the driver-checked window; the two
+    # slots they take come from generic SQL demos no SURVEY §2 row cites
+    # (CUBE rollup, percentile_approx), which stay registered, benched,
+    # and pytest-oracled here:
+    "lineitem_cube",
+    "order_price_percentiles",
 )
 for _deferred in DEFERRED_PAST_DRIVER_CAP:
     REGISTRY[_deferred] = REGISTRY.pop(_deferred)

@@ -40,19 +40,22 @@ def test_registry_ordering_contract():
         "event_sessions",
     ):
         assert names.index(crit) < 50
+    # round-5 re-triage: the two new first-class operators sit INSIDE
+    # the checked window too
+    for crit in ("kg_triples_incremental", "kg_pagerank"):
+        assert names.index(crit) < 50
     # and the deferred slots hold only redundant / verification-only
-    # queries, never first-class operators (kg_triples_incremental's
-    # emitted rows are identical to the driver-checked kg_triples — the
-    # incremental write path it adds is pinned by tests/test_incremental)
+    # queries, never first-class operators
     for name in DEFERRED:
         q = REGISTRY[name]
         assert q.verification_only or name in (
             "kg_entity_doc_counts",
             "ann_ivf_sampled_topk",
-            "kg_triples_incremental",
-            # ranks over the same driver-checked kg_triples edge graph;
-            # oracled here via test_deferred_queries_match_oracle
-            "kg_pagerank",
+            # generic SQL demos (CUBE rollup, percentile_approx) that no
+            # SURVEY §2 row cites as evidence; oracled here via
+            # test_deferred_queries_match_oracle
+            "lineitem_cube",
+            "order_price_percentiles",
         )
 
 
