@@ -49,6 +49,9 @@ HEADLINE = [
     # round 3 additions
     "ann_ivf_sampled_topk",
     "kg_golden_metrics",
+    # round 5 addition: weighted fixed-point PageRank over the KG edge
+    # graph (5 iterations, localCheckpoint per iteration)
+    "kg_pagerank",
 ]
 
 

@@ -56,6 +56,9 @@ def test_registry_ordering_contract():
             # test_deferred_queries_match_oracle
             "lineitem_cube",
             "order_price_percentiles",
+            # round-5 late addition with no free driver slot; oracled via
+            # test_deferred_queries_match_oracle
+            "doc_bm25_topk",
         )
 
 

@@ -164,3 +164,42 @@ def test_lsh_bucket_deterministic(spark):
     a = {r.vec_id: r.lsh_bucket for r in similarity.lsh_bucket(df, 8).collect()}
     b = {r.vec_id: r.lsh_bucket for r in similarity.lsh_bucket(df, 8).collect()}
     assert a == b
+
+
+def test_bm25_topk_semantics_and_determinism(spark):
+    from biomedical_knowledge_graph_spark.operators.retrieval import (
+        SCALE,
+        bm25_topk,
+    )
+
+    # 6 docs: "rare" appears once; "common" in five; doc 5 matches nothing
+    rows = [
+        (1, "rare common alpha beta"),
+        (2, "common alpha beta gamma"),
+        (3, "common common alpha beta gamma delta"),
+        (4, "common alpha"),
+        (5, "alpha beta gamma delta"),
+        (6, "common alpha beta gamma delta epsilon zeta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(docs, ["rare", "common"], k=10).collect()
+    got = {r.doc_id: r for r in out}
+    # only matching docs are returned, already ordered
+    assert set(got) == {1, 2, 3, 4, 6}
+    # the sole "rare" doc outranks every common-only doc (idf dominance)
+    assert out[0].doc_id == 1 and got[1].matched_terms == 2
+    # higher tf at comparable length ranks above (doc 3 vs doc 2)
+    assert got[3].score_scaled > got[2].score_scaled
+    # longer doc is length-penalized below a shorter same-tf doc (6 vs 2)
+    assert got[2].score_scaled > got[6].score_scaled
+    # score is the exact scaled integer divided out
+    for r in out:
+        assert r.score == r.score_scaled / SCALE
+    # k truncates after ordering
+    top2 = bm25_topk(docs, ["rare", "common"], k=2).collect()
+    assert [r.doc_id for r in top2] == [r.doc_id for r in out[:2]]
+    # bit-identical across partitionings (integer fixed-point)
+    repartitioned = bm25_topk(
+        docs.repartition(7, "doc_id"), ["rare", "common"], k=10
+    ).collect()
+    assert [tuple(r) for r in repartitioned] == [tuple(r) for r in out]
