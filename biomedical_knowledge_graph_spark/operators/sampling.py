@@ -1,0 +1,122 @@
+"""Deterministic train/val/test splitting and exact stratified sampling
+(round 5).
+
+Every training-data pipeline needs (a) a STABLE split assignment — the
+same document must land in the same split on every run, on any cluster,
+regardless of partitioning, or eval sets silently contaminate training —
+and (b) reproducible sub-sampling, usually stratified so small strata
+(languages, sources) are not washed out. The reference has no analogue;
+both are built Spark-first with zero Python UDFs.
+
+Determinism comes from content hashing, not RNG: ``md5(salt ":" id)``'s
+first 8 hex chars are a uniform draw in [0, 16^8) that Spark and any
+ANSI-SQL oracle compute identically (both emit lowercase hex, and hex
+strings of equal length compare like the integers they encode). Split
+boundaries are cumulative-fraction thresholds embedded as hex literals
+(``fraction_to_hex``), so assignment is a pure per-row projection — no
+shuffle, no state, trivially 100 TB-safe, and re-runnable on a corpus
+that grows between runs without reshuffling old rows across splits.
+
+Stratified sampling comes in the two standard flavors:
+
+- ``in_sample_col`` (threshold flag): ``hash < fraction`` — also a pure
+  projection, approximate per-stratum counts (binomial), the 100 TB
+  default.
+- ``stratified_exact_sample``: exactly ``ceil(fraction · n)`` rows per
+  stratum, taken as the lowest hashes via one ``row_number`` window per
+  stratum (ties broken by id, so the pick is total-order deterministic).
+  One shuffle on the stratum key; each stratum is ranked by a single
+  task, which is the standard top-k-per-group trade — use the threshold
+  flag instead when single strata exceed a task's comfort zone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+HEX_SPACE = 16 ** 8
+
+
+def fraction_to_hex(fraction: float) -> str:
+    """Cumulative fraction → 8-char lowercase hex threshold literal."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction out of range: {fraction}")
+    return format(min(int(fraction * HEX_SPACE), HEX_SPACE - 1), "08x")
+
+
+def hash_hex(id_col: str | Column, salt: str) -> Column:
+    """First 8 hex chars of md5(salt ':' id) — uniform, engine-portable."""
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), col.cast("string"))), 1, 8
+    )
+
+
+def split_col(
+    id_col: str | Column,
+    splits: tuple[tuple[str, float], ...] = (
+        ("train", 0.90),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    salt: str = "split-v1",
+) -> Column:
+    """Deterministic split label: cumulative hex-threshold CASE chain."""
+    fracs = [f for _, f in splits]
+    if abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1: {fracs}")
+    hx = hash_hex(id_col, salt)
+    expr: Column | None = None
+    cum = 0.0
+    for name, frac in splits[:-1]:
+        cum += frac
+        cond = hx < F.lit(fraction_to_hex(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = splits[-1][0]
+    return (F.lit(last) if expr is None else expr.otherwise(last)).alias(
+        "split"
+    )
+
+
+def in_sample_col(
+    id_col: str | Column, fraction: float, salt: str = "sample-v1"
+) -> Column:
+    """Approximate-fraction sample flag — pure projection, the scale path."""
+    return (hash_hex(id_col, salt) < F.lit(fraction_to_hex(fraction))).alias(
+        "in_sample"
+    )
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    fraction: float,
+    salt: str = "sample-v1",
+    flag_name: str = "in_sample",
+) -> DataFrame:
+    """Flag exactly ``ceil(fraction · n)`` rows per stratum (lowest
+    hashes, id tie-break). Adds ``flag_name`` boolean; one shuffle on the
+    stratum key. ``fraction`` is interpreted as the exact rational
+    ``num/den`` from its repr, so ceil is integer-exact and oracleable:
+    ceil(n·num/den) = (n·num + den − 1) div den.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(str(fraction))
+    hx = hash_hex(id_col, salt).alias("_hx")
+    w = Window.partitionBy(stratum_col)
+    rk = F.row_number().over(
+        w.orderBy(F.col("_hx"), F.col(id_col))
+    )
+    quota = F.expr(
+        f"(cast(_n as bigint) * {frac.numerator}L"
+        f" + {frac.denominator - 1}L) div {frac.denominator}L"
+    )
+    return (
+        df.withColumn("_hx", hx)
+        .withColumn("_n", F.count("*").over(w))
+        .withColumn("_rk", rk)
+        .withColumn(flag_name, F.col("_rk") <= quota)
+        .drop("_hx", "_n", "_rk")
+    )

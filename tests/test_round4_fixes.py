@@ -56,9 +56,10 @@ def test_registry_ordering_contract():
             # test_deferred_queries_match_oracle
             "lineitem_cube",
             "order_price_percentiles",
-            # round-5 late addition with no free driver slot; oracled via
+            # round-5 late additions with no free driver slot; oracled via
             # test_deferred_queries_match_oracle
             "doc_bm25_topk",
+            "doc_split_sample",
         )
 
 

@@ -1,0 +1,96 @@
+"""Deterministic split assignment + stratified sampling operators."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from biomedical_knowledge_graph_spark.operators.sampling import (
+    fraction_to_hex,
+    in_sample_col,
+    split_col,
+    stratified_exact_sample,
+)
+from pyspark.sql import functions as F
+
+
+def test_fraction_to_hex_boundaries():
+    assert fraction_to_hex(0.0) == "00000000"
+    assert fraction_to_hex(1.0) == "ffffffff"  # clamped into the space
+    assert fraction_to_hex(0.5) == "80000000"
+    with pytest.raises(ValueError):
+        fraction_to_hex(1.5)
+
+
+def test_split_assignment_stable_and_roughly_proportional(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = df.select("doc_id", split_col("doc_id")).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.split, set()).add(r.doc_id)
+    # every row assigned exactly one of the three labels
+    assert set(by) == {"train", "val", "test"}
+    assert sum(len(v) for v in by.values()) == 2000
+    # uniform hash: binomial(2000, .9) stays within 5 sigma of the mean
+    assert abs(len(by["train"]) - 1800) < 5 * math.sqrt(2000 * 0.9 * 0.1)
+    # stability under corpus growth: the first 2000 ids keep their split
+    grown = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    regrown = {
+        r.doc_id: r.split
+        for r in grown.select("doc_id", split_col("doc_id")).collect()
+        if r.doc_id < 2000
+    }
+    for name, ids in by.items():
+        assert all(regrown[i] == name for i in ids)
+
+
+def test_split_fractions_must_sum_to_one():
+    with pytest.raises(ValueError):
+        split_col("doc_id", splits=(("a", 0.5), ("b", 0.1)))
+
+
+def test_stratified_exact_sample_quota_and_determinism(spark):
+    # skewed strata: 7 / 40 / 253 rows
+    rows = [(i, "a" if i < 7 else "b" if i < 47 else "c") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    out = stratified_exact_sample(
+        df, id_col="doc_id", stratum_col="stratum", fraction=0.1
+    )
+    picked = {
+        s: {r.doc_id for r in grp}
+        for s, grp in _group(out.filter("in_sample").collect())
+    }
+    # ceil(0.1 * n) exactly, even for tiny strata
+    assert {s: len(v) for s, v in picked.items()} == {"a": 1, "b": 4, "c": 26}
+    # full frame is returned (flag, not filter)
+    assert out.count() == 300
+    # bit-identical pick under a different partitioning
+    repicked = {
+        s: {r.doc_id for r in grp}
+        for s, grp in _group(
+            stratified_exact_sample(
+                df.repartition(13, "doc_id"),
+                id_col="doc_id",
+                stratum_col="stratum",
+                fraction=0.1,
+            )
+            .filter("in_sample")
+            .collect()
+        )
+    }
+    assert repicked == picked
+
+
+def test_threshold_flag_matches_hex_cut(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    n = df.select(F.sum(in_sample_col("doc_id", 0.25).cast("int"))).first()[0]
+    # binomial(1000, .25), 5 sigma
+    assert abs(n - 250) < 5 * math.sqrt(1000 * 0.25 * 0.75)
+
+
+def _group(rows):
+    by: dict[str, list] = {}
+    for r in rows:
+        by.setdefault(r.stratum, []).append(r)
+    return by.items()
