@@ -85,11 +85,17 @@ def pagerank_fixed_point(
     # (src, dst, w, out_w) is constant across iterations, but a lazy plan
     # here would be re-executed by every iteration's eager checkpoint —
     # the out-degree aggregate and its join would run once per iteration.
-    # Persist it once; each iteration then reads the cached rows only.
+    # Persist it once, materialize it now (the nodes.count() above and
+    # iteration 1 would otherwise both pay it), and release `e`
+    # immediately: e and ew are near-identical row sets, and holding both
+    # cached for the whole loop doubles edge storage for nothing.
     ew = e.join(out_w, "src").persist()
+    ew.count()
     ranks = nodes.withColumn(
         "rank_scaled", F.lit(SCALE // n).cast("long")
     ).localCheckpoint(eager=True)
+    # ranks is checkpointed and ew materialized — nothing reads e anymore
+    e.unpersist()
     for _ in range(iterations):
         contribs = ew.join(
             ranks, ew["src"] == ranks["node"]
@@ -108,7 +114,6 @@ def pagerank_fixed_point(
             .localCheckpoint(eager=True)
         )
     ew.unpersist()
-    e.unpersist()
     return ranks.select(
         "node",
         "rank_scaled",

@@ -27,7 +27,11 @@ and evaluates the whole per-term score in BIGINT floor divisions:
   ``(idf_s · r_s) div S = (idf_s div S)·r_s + ((idf_s mod S)·r_s) div S``
   (exact because ``(q·S + m)·r = q·S·r + m·r`` and ``q·S·r`` is
   divisible by ``S``), keeping every product under 2**63 for corpora up
-  to ~2**40 docs and tf up to ~2**21.
+  to ~2**40 docs and per-doc term frequencies up to
+  ``floor((2**63 − 1) / (44·S²)) = 190,650`` — the binding product is
+  the ``44·tf·S²`` numerator of ``r_s``; a corpus whose single documents
+  repeat one term >190 k times needs a smaller ``S`` (every bound scales
+  as S²).
 
 Integer sums are associative/commutative, so scores are bit-identical
 for ANY partitioning and reproducible in ANSI SQL (DuckDB ``//`` / ``%``
@@ -82,8 +86,8 @@ def bm25_topk(
         F.count("*").alias("n"), F.sum("dl").alias("tot")
     ).first()
     n_docs = int(stats["n"])
-    if n_docs == 0:
-        raise ValueError("bm25_topk over an empty corpus")
+    if n_docs == 0 or stats["tot"] is None:
+        raise ValueError("bm25_topk over an empty/untokenizable corpus")
     avgdl_i = max(1, int(stats["tot"]) // n_docs)
 
     any_term = reduce(
@@ -129,7 +133,7 @@ def bm25_topk(
             ),
         )
     )
-    return (
+    out = (
         scored.groupBy(id_col)
         .agg(
             F.count("*").alias("matched_terms"),
@@ -144,3 +148,9 @@ def bm25_topk(
         .orderBy(F.desc("score_scaled"), F.asc(id_col))
         .limit(k)
     )
+    # Materialize the ≤k-row result eagerly so the tf cache can be
+    # released before returning — repeated calls in one session (bench
+    # reps, oracle harness) must not accumulate cached blocks.
+    out = out.localCheckpoint(eager=True)
+    tf.unpersist()
+    return out

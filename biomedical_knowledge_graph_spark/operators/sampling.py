@@ -99,11 +99,21 @@ def stratified_exact_sample(
     hashes, id tie-break). Adds ``flag_name`` boolean; one shuffle on the
     stratum key. ``fraction`` is interpreted as the exact rational
     ``num/den`` from its repr, so ceil is integer-exact and oracleable:
-    ceil(n·num/den) = (n·num + den − 1) div den.
+    ceil(n·num/den) = (n·num + den − 1) div den. The denominator is
+    capped at 10**6 (nearest rational within 1e-12 of any such float),
+    which bounds the quota product n·num under 2**63 for strata up to
+    ~9.2e12 rows instead of overflowing at n ≈ 2**63/10**16 for repr-long
+    fractions like 1/3.
     """
     from fractions import Fraction
 
-    frac = Fraction(str(fraction))
+    frac = Fraction(str(fraction)).limit_denominator(10**6)
+    reserved = {"_hx", "_n", "_rk"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"stratified_exact_sample uses temp columns {sorted(reserved)} "
+            "already present in the input — rename them first"
+        )
     hx = hash_hex(id_col, salt).alias("_hx")
     w = Window.partitionBy(stratum_col)
     rk = F.row_number().over(

@@ -2516,7 +2516,7 @@ def doc_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   - ann_ivf_sampled_topk: the sampled-Lloyd IVF variant of ann_ivf_topk,
 #     which already value-checks the IVF construction end-to-end;
 #   - lineitem_cube / order_price_percentiles: generic SQL demos (CUBE
-#     rollup, percentile_approx) no SURVEY §2 row cites as evidence.
+#     rollup, exact percentiles) no SURVEY §2 row cites as evidence.
 # This keeps dedup_near_dup_clusters, event_sessions,
 # kg_triples_incremental, and kg_pagerank (all first-class) INSIDE the
 # checked window. All six deferred entries stay registered (benched) and
@@ -2533,7 +2533,7 @@ DEFERRED_PAST_DRIVER_CAP = (
     # merge-on-read counter sink — and kg_pagerank — graph analytics over
     # the KG edge graph) moved INSIDE the driver-checked window; the two
     # slots they take come from generic SQL demos no SURVEY §2 row cites
-    # (CUBE rollup, percentile_approx), which stay registered, benched,
+    # (CUBE rollup, exact percentiles), which stay registered, benched,
     # and pytest-oracled here:
     "lineitem_cube",
     "order_price_percentiles",

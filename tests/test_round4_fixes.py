@@ -51,7 +51,7 @@ def test_registry_ordering_contract():
         assert q.verification_only or name in (
             "kg_entity_doc_counts",
             "ann_ivf_sampled_topk",
-            # generic SQL demos (CUBE rollup, percentile_approx) that no
+            # generic SQL demos (CUBE rollup, exact percentiles) that no
             # SURVEY §2 row cites as evidence; oracled here via
             # test_deferred_queries_match_oracle
             "lineitem_cube",

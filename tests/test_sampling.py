@@ -94,3 +94,18 @@ def _group(rows):
     for r in rows:
         by.setdefault(r.stratum, []).append(r)
     return by.items()
+
+
+def test_exact_sample_guards(spark):
+    df = spark.createDataFrame(
+        [(i, "x", 1) for i in range(9)], "doc_id long, stratum string, _n int"
+    )
+    # temp-column collision is an error, not silent column loss
+    with pytest.raises(ValueError, match="_n"):
+        stratified_exact_sample(df, "doc_id", "stratum", 0.1)
+    # repr-long fractions (1/3) must not overflow the BIGINT quota:
+    # ceil(9/3) = 3 picked
+    out = stratified_exact_sample(
+        df.drop("_n"), "doc_id", "stratum", 1 / 3
+    )
+    assert out.filter("in_sample").count() == 3
