@@ -49,9 +49,12 @@ HEADLINE = [
     # round 3 additions
     "ann_ivf_sampled_topk",
     "kg_golden_metrics",
-    # round 5 addition: weighted fixed-point PageRank over the KG edge
-    # graph (5 iterations, localCheckpoint per iteration)
+    # round 5 additions: weighted fixed-point PageRank over the KG edge
+    # graph (5 iterations, localCheckpoint per iteration), fixed-point
+    # BM25 retrieval, and deterministic split + exact stratified sample
     "kg_pagerank",
+    "doc_bm25_topk",
+    "doc_split_sample",
 ]
 
 
