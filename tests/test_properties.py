@@ -194,3 +194,158 @@ def test_obo_stanza_parser_total(lines):
     is_a_rels = [r for r in term["relationships"] if r["rel_type"] == "IS_A"]
     assert [r["target"] for r in is_a_rels] == term["is_a"]
     assert len(term["synonyms"]) == len(term["synonym_details"])
+
+
+# -- BM25 fixed-point vs independent pure-Python reference --------------------
+
+
+def _bm25_reference(rows, terms, k):
+    """Independent pure-Python implementation of the documented
+    fixed-point BM25 spec (retrieval.py module docstring), written
+    straight from the math — no Spark, no shared code."""
+    S = 1 << 20
+    docs = {doc_id: text.split(" ") for doc_id, text in rows}
+    n = len(docs)
+    tot = sum(len(t) for t in docs.values())
+    avgdl_i = max(1, tot // n)
+    df = {t: sum(1 for toks in docs.values() if t in toks) for t in terms}
+    scored = []
+    for doc_id, toks in docs.items():
+        dl = len(toks)
+        contribs = []
+        for t in terms:
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            idf_s = ((2 * n - 2 * df[t] + 1) * S) // (2 * df[t] + 1)
+            l_s = (dl * S) // avgdl_i
+            r_s = (44 * tf * S * S) // (20 * tf * S + 6 * S + 18 * l_s)
+            contribs.append((idf_s // S) * r_s + ((idf_s % S) * r_s) // S)
+        if contribs:
+            scored.append((doc_id, len(contribs), sum(contribs)))
+    scored.sort(key=lambda r: (-r[2], r[0]))
+    return scored[:k]
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    """For random corpora over a small vocabulary (duplicate tokens,
+    single-token docs, absent query terms, score ties), bm25_topk's exact
+    integer scores equal an independent pure-Python implementation of the
+    documented fixed-point spec — every doc, in the exact output order."""
+    import random
+
+    from biomedical_knowledge_graph_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    rng = random.Random(23)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "rho"]
+    for trial in range(6):
+        n_docs = rng.randint(1, 40)
+        rows = [
+            (
+                i,
+                " ".join(
+                    rng.choice(vocab) for _ in range(rng.randint(1, 12))
+                ),
+            )
+            for i in range(n_docs)
+        ]
+        terms = rng.sample(vocab, rng.randint(1, 4)) + ["absent"]
+        k = rng.choice([3, 10, 100])
+        want = _bm25_reference(rows, terms, k)
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = [
+            (r.doc_id, r.matched_terms, r.score_scaled)
+            for r in bm25_topk(docs, terms, k=k).collect()
+        ]
+        assert got == want, f"trial {trial}"
+
+
+# -- stratified sampling vs independent pure-Python reference -----------------
+
+
+def test_stratified_sample_matches_pure_python_reference(spark):
+    """For random strata (skewed sizes, singleton strata) and
+    repr-awkward fractions, the picked set per stratum equals an
+    independent pure-Python reference: exactly ceil(fraction·n) ids with
+    the lowest md5('sample-v1:'+id) hex prefixes, ties by id."""
+    import hashlib
+    import math
+    import random
+    from fractions import Fraction
+
+    from biomedical_knowledge_graph_spark.operators.sampling import (
+        stratified_exact_sample,
+    )
+
+    rng = random.Random(41)
+    for fraction in (0.1, 1 / 3, 0.5, 0.07, 1.0):
+        strata = [f"s{j}" for j in range(rng.randint(1, 5))]
+        rows = [
+            (i, rng.choice(strata + [strata[0]] * 3))
+            for i in range(rng.randint(1, 400))
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, stratum string")
+        got = {
+            (r.doc_id, r.stratum)
+            for r in stratified_exact_sample(df, "doc_id", "stratum", fraction)
+            .filter("in_sample")
+            .collect()
+        }
+        frac = Fraction(str(fraction)).limit_denominator(10**6)
+        by: dict[str, list[int]] = {}
+        for doc_id, s in rows:
+            by.setdefault(s, []).append(doc_id)
+        want = set()
+        for s, ids in by.items():
+            quota = math.ceil(frac * len(ids))
+            ranked = sorted(
+                ids,
+                key=lambda i: (
+                    hashlib.md5(f"sample-v1:{i}".encode()).hexdigest()[:8],
+                    i,
+                ),
+            )
+            want |= {(i, s) for i in ranked[:quota]}
+        assert got == want, f"fraction {fraction}"
+
+
+@given(
+    st.integers(min_value=1, max_value=10**12),
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+@settings(max_examples=300, deadline=None)
+def test_exact_sample_quota_is_true_ceiling(n, fraction):
+    """The BIGINT quota formula used in stratified_exact_sample equals
+    the true ceiling of the limit_denominator'd rational for any stratum
+    size up to 10^12, never over-picks, and its products stay under
+    2**63 (the documented overflow bound)."""
+    import math
+    from fractions import Fraction
+
+    frac = Fraction(str(fraction)).limit_denominator(10**6)
+    quota = (n * frac.numerator + frac.denominator - 1) // frac.denominator
+    assert quota == math.ceil(frac * n)
+    assert quota <= n
+    if frac > 0:
+        assert quota >= 1
+    assert n * frac.numerator + frac.denominator - 1 < 2**63
+
+
+@given(
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+@settings(max_examples=200, deadline=None)
+def test_fraction_to_hex_weakly_monotone(a, b):
+    """Hex thresholds order like the fractions they encode (string
+    comparison of equal-length lowercase hex ≡ integer comparison)."""
+    from biomedical_knowledge_graph_spark.operators.sampling import (
+        fraction_to_hex,
+    )
+
+    fa, fb = fraction_to_hex(a), fraction_to_hex(b)
+    assert len(fa) == len(fb) == 8
+    if a <= b:
+        assert fa <= fb
