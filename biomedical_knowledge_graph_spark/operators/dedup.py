@@ -312,14 +312,20 @@ def minhash_lsh_candidates(
     rows_per_band: int = 4,
 ) -> DataFrame:
     """Banded LSH: (id_a, id_b) candidate pairs, id_a < id_b. One shuffle on
-    (band, band-slice hash); pairs emerge only inside buckets."""
+    (band, band-slice hash); pairs emerge only inside buckets.
+
+    Buckets hash the band slice DIRECTLY (``xxhash64`` over the sliced
+    array): buckets are only ever compared for equality, so any
+    deterministic content hash yields the identical candidate set — the
+    earlier ``to_json`` round-trip built a throwaway JSON string per
+    (doc, band) just to feed the hash."""
     sliced = signatures.select(
         id_col,
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), b -> struct(b as band, "
-                f"xxhash64(to_json(struct(slice(signature, b * {rows_per_band}"
-                f" + 1, {rows_per_band})))) as bucket))"
+                f"xxhash64(slice(signature, b * {rows_per_band}"
+                f" + 1, {rows_per_band})) as bucket))"
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
