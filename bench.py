@@ -55,6 +55,10 @@ HEADLINE = [
     "kg_pagerank",
     "doc_bm25_topk",
     "doc_split_sample",
+    # round 5 webtext-hygiene additions: Gopher-style repetition filter
+    # and train/test fingerprint decontamination
+    "doc_repetition_filter",
+    "split_contamination",
 ]
 
 

@@ -130,3 +130,75 @@ def stratified_exact_sample(
         .withColumn(flag_name, F.col("_rk") <= quota)
         .drop("_hx", "_n", "_rk")
     )
+
+
+def split_contamination(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    splits: tuple[tuple[str, float], ...] = (
+        ("train", 0.90),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    salt: str = "split-v1",
+    eval_split: str = "test",
+    train_split: str = "train",
+    gram: int = 8,
+    keep: int = 4,
+) -> DataFrame:
+    """Train/eval decontamination check: for every ``eval_split`` document,
+    how many of its winnowed fingerprint grams (textstats.fingerprint —
+    the ``keep`` smallest md5 char-``gram``-gram digests) also occur in
+    ANY ``train_split`` document. Output per eval doc: ``n_fingerprint``,
+    ``n_overlap``, ``contaminated`` (n_overlap > 0).
+
+    Every serious eval pipeline runs this join (an eval set sharing
+    verbatim n-grams with training data inflates benchmarks); the
+    fingerprint restriction is what makes it 100 TB-shaped:
+
+    - the eval side is tiny (fraction · corpus), so its distinct gram set
+      broadcasts;
+    - the train side — the 100 TB one — is scanned ONCE, filtered by the
+      broadcast eval-gram set (broadcast hash join, no shuffle of train
+      data), and only matching grams flow into a distinct that is bounded
+      by |eval grams|;
+    - the final count join is eval-sized.
+    """
+    from biomedical_knowledge_graph_spark.operators.textstats import (
+        fingerprint,
+    )
+
+    fp = fingerprint(df, id_col, text_col, gram=gram, keep=keep).join(
+        df.select(id_col, split_col(id_col, splits, salt)), id_col
+    )
+    eval_fp = fp.filter(F.col("split") == eval_split)
+    eval_grams = eval_fp.select(
+        id_col, F.explode("fingerprint").alias("gram")
+    )
+    # distinct eval grams, broadcast against the train scan: train rows
+    # never shuffle, and the distinct's input is pre-gated to eval grams
+    eval_gram_set = eval_grams.select("gram").distinct()
+    train_hit_grams = (
+        fp.filter(F.col("split") == train_split)
+        .select(F.explode("fingerprint").alias("gram"))
+        .join(F.broadcast(eval_gram_set), "gram", "left_semi")
+        .distinct()
+    )
+    hits = (
+        eval_grams.join(F.broadcast(train_hit_grams), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        eval_fp.select(
+            id_col, F.size("fingerprint").cast("long").alias("n_fingerprint")
+        )
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_fingerprint",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

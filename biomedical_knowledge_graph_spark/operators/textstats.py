@@ -102,6 +102,104 @@ def quality_features(
     )
 
 
+def repetition_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_word_frac: float = 0.5,
+    max_top_bigram_frac: float = 0.05,
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1 use duplicate-line and top-n-gram fractions to drop
+    boilerplate/spam pages; this corpus has no line structure, so the
+    word-level analogues): per doc
+
+    - ``dup_word_frac``  = 1 − distinct_words / n_tokens
+    - ``top_word_frac``  = count of the most frequent word / n_tokens
+    - ``top_bigram_frac`` = count of the most frequent word bigram /
+      n_bigrams
+    - ``keep`` — passes both ``max_dup_word_frac`` and
+      ``max_top_bigram_frac`` (evaluated on the 6-dp-rounded fractions so
+      any engine computing the same ratios draws the same boundary).
+
+    Compose with a minimum-length gate (quality_features' n_tokens), as
+    Gopher does: a 2-token doc's single bigram is trivially its top
+    bigram (frac 1.0), so the bigram rule is only meaningful past a
+    length floor.
+
+    Shape for 100 TB: one projection builds word + bigram grams JVM-side,
+    one explode, then two hash aggregates — (doc, kind, gram) counts with
+    map-side combine, then per-doc max/sum. No Python, no window, no
+    driver state; the widest shuffle key is (doc, gram), which is as
+    skew-free as the corpus itself."""
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("_w"))
+    # words tagged 'w', bigrams tagged 'b'; the CASE guard avoids Spark's
+    # descending sequence(1, 0) quirk on single-token docs (same as
+    # dedup.shingle_sets), and zero-token docs re-enter via the left join
+    grams = base.select(
+        id_col,
+        F.explode(
+            F.concat(
+                F.expr(
+                    "transform(_w, t -> struct('w' as kind, t as gram))"
+                ),
+                F.expr(
+                    "case when size(_w) >= 2 then "
+                    "transform(sequence(1, size(_w) - 1), i -> "
+                    "struct('b' as kind, concat(element_at(_w, i), ' ', "
+                    "element_at(_w, i + 1)) as gram)) "
+                    "else array() end"
+                ),
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.kind").alias("kind"), F.col("g.gram").alias("gram"))
+    counts = grams.groupBy(id_col, "kind", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    w_cnt = F.when(F.col("kind") == "w", F.col("cnt"))
+    b_cnt = F.when(F.col("kind") == "b", F.col("cnt"))
+    stats = counts.groupBy(id_col).agg(
+        F.coalesce(F.sum(w_cnt), F.lit(0)).cast("long").alias("n_tokens"),
+        F.count(w_cnt).cast("long").alias("_n_distinct"),
+        F.coalesce(F.max(w_cnt), F.lit(0)).cast("long").alias("_top_w"),
+        F.coalesce(F.sum(b_cnt), F.lit(0)).cast("long").alias("_n_bi"),
+        F.coalesce(F.max(b_cnt), F.lit(0)).cast("long").alias("_top_b"),
+    )
+    denom_w = F.greatest(F.col("n_tokens"), F.lit(1))
+    denom_b = F.greatest(F.col("_n_bi"), F.lit(1))
+    dup = F.round((F.col("n_tokens") - F.col("_n_distinct")) / denom_w, 6)
+    top_w = F.round(F.col("_top_w") / denom_w, 6)
+    top_b = F.round(F.col("_top_b") / denom_b, 6)
+    featured = stats.select(
+        id_col,
+        "n_tokens",
+        dup.alias("dup_word_frac"),
+        top_w.alias("top_word_frac"),
+        top_b.alias("top_bigram_frac"),
+    ).withColumn(
+        "keep",
+        (F.col("dup_word_frac") <= max_dup_word_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac),
+    )
+    # zero-token docs never reach the gram explode; restore them with
+    # all-zero features (kept: nothing repeats in an empty doc)
+    return (
+        base.select(id_col)
+        .join(featured, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("dup_word_frac", F.lit(0.0)).alias("dup_word_frac"),
+            F.coalesce("top_word_frac", F.lit(0.0)).alias("top_word_frac"),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias(
+                "top_bigram_frac"
+            ),
+            F.coalesce("keep", F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def fingerprint(
     df: DataFrame,
     id_col: str = "doc_id",

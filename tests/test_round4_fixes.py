@@ -60,6 +60,8 @@ def test_registry_ordering_contract():
             # test_deferred_queries_match_oracle
             "doc_bm25_topk",
             "doc_split_sample",
+            "doc_repetition_filter",
+            "split_contamination",
         )
 
 

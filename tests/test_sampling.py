@@ -109,3 +109,109 @@ def test_exact_sample_guards(spark):
         df.drop("_n"), "doc_id", "stratum", 1 / 3
     )
     assert out.filter("in_sample").count() == 3
+
+
+# ---------------------------------------------------------------------------
+# Webtext hygiene (round 5 late): repetition filter + decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_features_hand_checked(spark):
+    from biomedical_knowledge_graph_spark.operators.textstats import (
+        repetition_features,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # 6 tokens, 4 distinct -> dup 2/6; 'a b' bigram appears 2/5
+            (1, "a b a b c d"),
+            # all-same: dup 3/4, top word 4/4... 4 tokens 'x', bigrams
+            # 'x x' 3/3
+            (2, "x x x x"),
+            # single token: no bigrams -> top_bigram_frac 0
+            (3, "solo"),
+            # empty text: zero tokens, all-zero features, kept
+            (4, ""),
+            # whitespace runs collapse to empty tokens (dropped)
+            (5, "p  q"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in repetition_features(df).collect()
+    }
+    r1 = rows[1]
+    assert r1["n_tokens"] == 6
+    assert r1["dup_word_frac"] == round(2 / 6, 6)
+    assert r1["top_word_frac"] == round(2 / 6, 6)
+    assert r1["top_bigram_frac"] == round(2 / 5, 6)
+    # rule: dup 0.33 <= 0.5 but top_bigram 0.4 > 0.05 -> dropped
+    assert r1["keep"] is False
+    r2 = rows[2]
+    assert r2["n_tokens"] == 4
+    assert r2["dup_word_frac"] == 0.75
+    assert r2["top_word_frac"] == 1.0
+    assert r2["top_bigram_frac"] == 1.0
+    assert r2["keep"] is False
+    r3 = rows[3]
+    assert (
+        r3["n_tokens"],
+        r3["dup_word_frac"],
+        r3["top_bigram_frac"],
+        r3["keep"],
+    ) == (1, 0.0, 0.0, True)
+    r4 = rows[4]
+    assert (r4["n_tokens"], r4["keep"]) == (0, True)
+    r5 = rows[5]
+    # its single bigram is by definition the top bigram (frac 1.0), so the
+    # bigram rule drops it — the filter is meant to compose with a
+    # min-length gate, exactly as in Gopher's pipeline
+    assert (r5["n_tokens"], r5["dup_word_frac"], r5["keep"]) == (
+        2,
+        0.0,
+        False,
+    )
+
+
+def test_split_contamination_hand_checked(spark):
+    """Force known splits by choosing single-split fractions: with
+    splits=(('train', 1.0),) every doc is train; instead use an explicit
+    two-table check — eval doc sharing an 8-gram with a train doc is
+    contaminated, a disjoint one is not."""
+    from biomedical_knowledge_graph_spark.operators.sampling import (
+        split_col,
+        split_contamination,
+    )
+
+    # find ids that land in train/test under the default salt so the
+    # test is deterministic but not hand-tuned: probe 200 ids once
+    probe = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    ).select("doc_id", split_col("doc_id"))
+    by_split = {
+        s: [r["doc_id"] for r in probe.filter(F.col("split") == s).collect()]
+        for s in ("train", "test")
+    }
+    assert by_split["train"] and by_split["test"], by_split
+    train_id = by_split["train"][0]
+    test_hit, test_miss = by_split["test"][0], by_split["test"][1]
+
+    shared = "abcdefghijklmnop"  # >= 8 chars shared verbatim
+    rows = [
+        (train_id, f"TRAIN {shared} TRAIN"),
+        (test_hit, f"eval doc with {shared} inside"),
+        (test_miss, "zzzz yyyy xxxx wwww vvvv uuuu"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # keep=64 so the winnowed fingerprint covers ALL grams of these tiny
+    # docs -> overlap iff verbatim 8-gram sharing
+    out = {
+        r["doc_id"]: r
+        for r in split_contamination(df, keep=64).collect()
+    }
+    assert set(out) == {test_hit, test_miss}  # train docs not emitted
+    assert out[test_hit]["contaminated"] is True
+    assert out[test_hit]["n_overlap"] >= len(shared) - 7
+    assert out[test_miss]["contaminated"] is False
+    assert out[test_miss]["n_overlap"] == 0
