@@ -349,3 +349,50 @@ def test_fraction_to_hex_weakly_monotone(a, b):
     assert len(fa) == len(fb) == 8
     if a <= b:
         assert fa <= fb
+
+
+# -- repetition features vs independent pure-Python reference -----------------
+
+
+def test_repetition_features_matches_pure_python_reference(spark):
+    """Random small-alphabet texts (high collision rates by construction,
+    plus empties, single tokens, and whitespace runs): n_tokens and all
+    three repetition fractions equal a pure-Python Counter reference."""
+    import random
+    from collections import Counter
+
+    from biomedical_knowledge_graph_spark.operators.textstats import (
+        repetition_features,
+    )
+
+    rng = random.Random(43)
+    vocab = ["a", "b", "c", "dd", "e"]
+    rows = [(0, ""), (1, "solo"), (2, "  "), (3, "x  y")]
+    rows += [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40))))
+        for i in range(4, 120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    assert set(got) == {i for i, _ in rows}
+    for doc_id, text in rows:
+        words = [t for t in text.split(" ") if t]
+        bigrams = [
+            f"{words[i]} {words[i + 1]}" for i in range(len(words) - 1)
+        ]
+        n = len(words)
+        wc, bc = Counter(words), Counter(bigrams)
+        want_dup = round((n - len(wc)) / max(n, 1), 6)
+        want_top_w = round((max(wc.values()) if wc else 0) / max(n, 1), 6)
+        want_top_b = round(
+            (max(bc.values()) if bc else 0) / max(len(bigrams), 1), 6
+        )
+        r = got[doc_id]
+        assert r["n_tokens"] == n, (doc_id, text)
+        assert r["dup_word_frac"] == want_dup, (doc_id, text)
+        assert r["top_word_frac"] == want_top_w, (doc_id, text)
+        assert r["top_bigram_frac"] == want_top_b, (doc_id, text)
+        assert r["keep"] == (want_dup <= 0.5 and want_top_b <= 0.05), (
+            doc_id,
+            text,
+        )
