@@ -155,49 +155,61 @@ def split_contamination(
 
     Every serious eval pipeline runs this join (an eval set sharing
     verbatim n-grams with training data inflates benchmarks); the
-    fingerprint restriction is what makes it 100 TB-shaped:
-
-    - the eval side is tiny (fraction · corpus), so its distinct gram set
-      broadcasts;
-    - the train side — the 100 TB one — is scanned ONCE, filtered by the
-      broadcast eval-gram set (broadcast hash join, no shuffle of train
-      data), and only matching grams flow into a distinct that is bounded
-      by |eval grams|;
-    - the final count join is eval-sized.
-    """
+    fingerprint restriction is what makes it 100 TB-shaped. ONE scan of
+    the corpus (fingerprints computed once per doc), ONE shuffle keyed on
+    the winnowed gram — ``keep`` 16-byte digests per doc no matter how
+    long the doc, so the shuffle is corpus-row-sized, not text-sized —
+    then an inverted-postings aggregate: per gram, an any-train flag and
+    the (eval-bounded) list of eval docs holding it; re-explode and count
+    per eval doc. No broadcast barrier, so eval-set size never has to fit
+    in driver memory; per-gram eval postings are bounded by the eval set
+    by construction. A final doc_id-projection anti-pass restores eval
+    docs whose text is shorter than ``gram`` (empty fingerprint)."""
     from biomedical_knowledge_graph_spark.operators.textstats import (
         fingerprint,
     )
 
-    fp = fingerprint(df, id_col, text_col, gram=gram, keep=keep).join(
-        df.select(id_col, split_col(id_col, splits, salt)), id_col
+    split = split_col(id_col, splits, salt)
+    fp = fingerprint(
+        df.filter(split.isin(eval_split, train_split)),
+        id_col,
+        text_col,
+        gram=gram,
+        keep=keep,
     )
-    eval_fp = fp.filter(F.col("split") == eval_split)
-    eval_grams = eval_fp.select(
-        id_col, F.explode("fingerprint").alias("gram")
+    # the split label is a pure function of the id (md5 threshold), so it
+    # re-projects after the fingerprint instead of joining anything back
+    grams = fp.select(
+        id_col, split, F.explode("fingerprint").alias("gram")
     )
-    # distinct eval grams, broadcast against the train scan: train rows
-    # never shuffle, and the distinct's input is pre-gated to eval grams
-    eval_gram_set = eval_grams.select("gram").distinct()
-    train_hit_grams = (
-        fp.filter(F.col("split") == train_split)
-        .select(F.explode("fingerprint").alias("gram"))
-        .join(F.broadcast(eval_gram_set), "gram", "left_semi")
-        .distinct()
+    by_gram = grams.groupBy("gram").agg(
+        F.max((F.col("split") == train_split).cast("int")).alias("_in_train"),
+        F.collect_list(
+            F.when(F.col("split") == eval_split, F.col(id_col))
+        ).alias("_eval_docs"),
     )
-    hits = (
-        eval_grams.join(F.broadcast(train_hit_grams), "gram", "left_semi")
+    per_doc = (
+        by_gram.select(
+            F.explode("_eval_docs").alias(id_col), "_in_train"
+        )
+        # fingerprint grams are distinct within a doc, so rows per doc =
+        # fingerprint size and the overlap is a plain conditional sum
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_overlap"))
+        .agg(
+            F.count("*").cast("long").alias("n_fingerprint"),
+            F.sum("_in_train").cast("long").alias("n_overlap"),
+        )
+    )
+    eval_ids = df.select(id_col, split).filter(
+        F.col("split") == eval_split
     )
     return (
-        eval_fp.select(
-            id_col, F.size("fingerprint").cast("long").alias("n_fingerprint")
-        )
-        .join(hits, id_col, "left")
+        eval_ids.join(per_doc, id_col, "left")
         .select(
             id_col,
-            "n_fingerprint",
+            F.coalesce("n_fingerprint", F.lit(0))
+            .cast("long")
+            .alias("n_fingerprint"),
             F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
             (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
         )
