@@ -133,3 +133,74 @@ def test_evidence_flag_matrix_input_guards(spark):
         evidence_flag_matrix(ents, {}, key="gene")
     with pytest.raises(ValueError):
         evidence_flag_matrix(ents, {"bad name!": ents}, key="gene")
+
+
+def test_minhash_lsh_bucket_hash_has_no_json(spark):
+    """The LSH bucket key must hash the band slice directly — a to_json
+    round-trip builds a throwaway string per (doc, band) (measured 1.66×
+    on the full sf0.1 query when it crept in)."""
+    from biomedical_knowledge_graph_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures_jvm,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abcdefghij")], "doc_id long, text string"
+    )
+    cands = minhash_lsh_candidates(
+        minhash_signatures_jvm(docs, num_hashes=8), bands=2, rows_per_band=4
+    )
+    plan = plan_of(cands)
+    assert "to_json" not in plan
+    assert "xxhash64" in plan.lower()
+
+
+def test_split_contamination_single_text_scan(spark, tmp_path):
+    """Decontamination must read the corpus text ONCE (the inverted-
+    postings shape): exactly one scan carries the text column; the only
+    other scan is the doc_id-pruned eval-roster projection. No broadcast
+    exchange of gram sets (the shape must not assume eval grams fit in
+    driver memory)."""
+    from biomedical_knowledge_graph_spark.operators.sampling import (
+        split_contamination,
+    )
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"document number {i} with some text body") for i in range(40)],
+        "doc_id long, text string",
+    ).write.parquet(path)
+    out = split_contamination(spark.read.parquet(path))
+    plan = plan_of(out)
+    scans = [
+        ln for ln in plan.splitlines() if "FileScan parquet" in ln
+    ]
+    with_text = [ln for ln in scans if "text" in ln.split("ReadSchema")[-1]]
+    assert len(scans) == 2, plan
+    assert len(with_text) == 1, plan
+
+
+def test_repetition_features_gram_work_is_jvm_only(spark, tmp_path):
+    """The repetition filter is two hash aggregates over one JVM gram
+    explode: no Python eval nodes, no window exchange, and the
+    doc-roster branch reads only the id column."""
+    from biomedical_knowledge_graph_spark.operators.textstats import (
+        repetition_features,
+    )
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "a b a c") for i in range(10)], "doc_id long, text string"
+    ).write.parquet(path)
+    out = repetition_features(spark.read.parquet(path))
+    plan = plan_of(out)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "Window" not in plan
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    id_only = [
+        ln
+        for ln in scans
+        if "text" not in ln.split("ReadSchema")[-1]
+    ]
+    assert len(scans) == 2 and len(id_only) == 1, plan
