@@ -59,6 +59,7 @@ HEADLINE = [
     # and train/test fingerprint decontamination
     "doc_repetition_filter",
     "split_contamination",
+    "doc_pack_sequences",
 ]
 
 

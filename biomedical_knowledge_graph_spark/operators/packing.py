@@ -1,0 +1,86 @@
+"""Deterministic sequence packing for LLM pre-training batches (round 5).
+
+Packed pre-training concatenates documents into a token stream and chunks
+it at a fixed ``capacity`` (the context length); every doc needs a stable
+(sequence, offset) assignment so shards can be materialized independently
+and reproducibly. This is the concat-then-chunk flavor (docs may straddle
+a chunk boundary — flagged, exactly like GPT-style packing); the no-split
+greedy flavor is a sequential fold (each decision depends on the previous
+reset) and is deliberately not offered: it cannot be expressed as a
+partition-parallel plan without changing its semantics.
+
+Scale shape: documents are bucketed (default: xxhash64 of the id, mod
+``n_buckets``), and each bucket packs independently — one shuffle on the
+bucket key, one in-task sort per bucket (the same single-task-per-group
+trade stratified_exact_sample documents). ``n_buckets`` scales with the
+cluster; the assignment is a pure function of (bucket membership, id
+order, token counts), so re-running on any partitioning gives identical
+output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    capacity: int = 2048,
+    bucket_col: str | Column | None = None,
+    n_buckets: int = 64,
+    token_count_col: str | None = None,
+) -> DataFrame:
+    """Assign each doc a (bucket, seq_in_bucket, offset_in_seq).
+
+    Within a bucket, docs are laid out in ``id_col`` order into a
+    contiguous token stream; chunking that stream at ``capacity`` gives
+    ``seq_in_bucket = floor(start / capacity)`` and ``offset_in_seq =
+    start % capacity`` where ``start`` is the running token count of all
+    earlier docs in the bucket. ``straddles`` marks docs crossing a chunk
+    boundary (longer-than-capacity docs straddle by definition).
+
+    ``bucket_col``: an explicit bucket column/expression (engine-portable
+    oracles pass e.g. ``id % B``); default is ``pmod(xxhash64(id),
+    n_buckets)``. ``token_count_col``: use a precomputed length column
+    instead of whitespace-counting ``text_col``.
+    """
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive: {capacity}")
+    if token_count_col is not None:
+        n_tokens = F.col(token_count_col).cast("long")
+    else:
+        from biomedical_knowledge_graph_spark.operators.textstats import (
+            token_count,
+        )
+
+        n_tokens = token_count(text_col)
+    if bucket_col is None:
+        bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
+    elif isinstance(bucket_col, str):
+        bucket = F.col(bucket_col)
+    else:
+        bucket = bucket_col
+    base = df.select(
+        F.col(id_col),
+        bucket.cast("long").alias("bucket"),
+        n_tokens.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    # integer `div`, not float `/`: exact for any 64-bit running total
+    return base.withColumn("_start", start).select(
+        id_col,
+        "bucket",
+        "n_tokens",
+        F.expr(f"_start div {int(capacity)}L").alias("seq_in_bucket"),
+        (F.col("_start") % capacity).cast("long").alias("offset_in_seq"),
+        ((F.col("_start") % capacity) + F.col("n_tokens") > capacity).alias(
+            "straddles"
+        ),
+    )

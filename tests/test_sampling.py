@@ -215,3 +215,57 @@ def test_split_contamination_hand_checked(spark):
     assert out[test_hit]["n_overlap"] >= len(shared) - 7
     assert out[test_miss]["contaminated"] is False
     assert out[test_miss]["n_overlap"] == 0
+
+
+def test_pack_sequences_hand_checked_and_partition_invariant(spark):
+    from biomedical_knowledge_graph_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    rows = [
+        # one bucket (bucket_col=0): laid out in doc_id order
+        (1, "a b c"),        # start 0  -> seq 0, off 0
+        (2, "d e f g"),      # start 3  -> seq 0, off 3, 3+4>6 straddles
+        (3, ""),             # start 7  -> seq 1, off 1, zero tokens
+        (4, "h i j k l m n o"),  # start 7 -> seq 1, off 1, 8 tokens straddles
+        (5, "p"),            # start 15 -> seq 2, off 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(
+            df, capacity=6, bucket_col=F.lit(0)
+        ).collect()
+    }
+    want = {
+        1: (0, 3, 0, 0, False),
+        2: (0, 4, 0, 3, True),
+        3: (0, 0, 1, 1, False),
+        4: (0, 8, 1, 1, True),
+        5: (0, 1, 2, 3, False),
+    }
+    for doc_id, (b, n, seq, off, strad) in want.items():
+        r = out[doc_id]
+        assert (
+            r["bucket"],
+            r["n_tokens"],
+            r["seq_in_bucket"],
+            r["offset_in_seq"],
+            r["straddles"],
+        ) == (b, n, seq, off, strad), (doc_id, r)
+
+    # partition invariance: same assignment from a 13-way repartition
+    # under the production xxhash64 bucketing
+    big = spark.createDataFrame(
+        [(i, "tok " * (i % 17)) for i in range(300)],
+        "doc_id long, text string",
+    )
+    a = {tuple(r) for r in pack_sequences(big, capacity=32).collect()}
+    b = {
+        tuple(r)
+        for r in pack_sequences(big.repartition(13), capacity=32).collect()
+    }
+    assert a == b
+
+    with pytest.raises(ValueError):
+        pack_sequences(big, capacity=0)
