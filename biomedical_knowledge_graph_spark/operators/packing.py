@@ -45,6 +45,10 @@ def pack_sequences(
     oracles pass e.g. ``id % B``); default is ``pmod(xxhash64(id),
     n_buckets)``. ``token_count_col``: use a precomputed length column
     instead of whitespace-counting ``text_col``.
+
+    ``id_col`` must be unique (it is the total order within a bucket);
+    duplicate ids would make the cumsum order — and thus the assignment —
+    partition-dependent.
     """
     if capacity <= 0:
         raise ValueError(f"capacity must be positive: {capacity}")
