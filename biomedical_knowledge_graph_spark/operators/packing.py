@@ -52,8 +52,25 @@ def pack_sequences(
     """
     if capacity <= 0:
         raise ValueError(f"capacity must be positive: {capacity}")
+    if bucket_col is None and n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive: {n_buckets}")
     if token_count_col is not None:
-        n_tokens = F.col(token_count_col).cast("long")
+        # fail fast on null/negative counts: a null row would silently be
+        # skipped by the window sum (shifting every later doc's offset)
+        # and poison its own assignment with nulls
+        raw = F.col(token_count_col)
+        n_tokens = F.when(
+            raw.isNull() | (raw < 0),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"pack_sequences: {token_count_col} must be a "
+                        "non-negative count, got "
+                    ),
+                    F.coalesce(raw.cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        ).otherwise(raw.cast("long"))
     else:
         from biomedical_knowledge_graph_spark.operators.textstats import (
             token_count,

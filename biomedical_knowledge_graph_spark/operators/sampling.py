@@ -156,15 +156,18 @@ def split_contamination(
     Every serious eval pipeline runs this join (an eval set sharing
     verbatim n-grams with training data inflates benchmarks); the
     fingerprint restriction is what makes it 100 TB-shaped. ONE scan of
-    the corpus (fingerprints computed once per doc), ONE shuffle keyed on
-    the winnowed gram — ``keep`` 16-byte digests per doc no matter how
-    long the doc, so the shuffle is corpus-row-sized, not text-sized —
-    then an inverted-postings aggregate: per gram, an any-train flag and
-    the (eval-bounded) list of eval docs holding it; re-explode and count
-    per eval doc. No broadcast barrier, so eval-set size never has to fit
-    in driver memory; per-gram eval postings are bounded by the eval set
-    by construction. A final doc_id-projection anti-pass restores eval
-    docs whose text is shorter than ``gram`` (empty fingerprint)."""
+    the corpus (fingerprints computed once per doc), ONE shuffle of the
+    gram postings — ``keep`` 16-byte digests per doc no matter how long
+    the doc, so the shuffle is corpus-row-sized, not text-sized. A WINDOW
+    max over each gram partition attaches the any-train flag to every
+    posting in place — no join back, no second scan, and never a
+    per-gram posting ARRAY: a boilerplate gram shared by much of the
+    eval split costs a spillable sorted run inside WindowExec, not one
+    giant in-memory aggregation buffer (plan shape pinned in
+    tests/test_plans.py). Then eval postings count per doc. No broadcast
+    barrier, so eval-set size never has to fit in driver memory. A final
+    doc_id-projection pass restores eval docs whose text is shorter than
+    ``gram`` (empty fingerprint)."""
     from biomedical_knowledge_graph_spark.operators.textstats import (
         fingerprint,
     )
@@ -182,16 +185,12 @@ def split_contamination(
     grams = fp.select(
         id_col, split, F.explode("fingerprint").alias("gram")
     )
-    by_gram = grams.groupBy("gram").agg(
-        F.max((F.col("split") == train_split).cast("int")).alias("_in_train"),
-        F.collect_list(
-            F.when(F.col("split") == eval_split, F.col(id_col))
-        ).alias("_eval_docs"),
-    )
+    in_train = F.max(
+        (F.col("split") == train_split).cast("int")
+    ).over(Window.partitionBy("gram"))
     per_doc = (
-        by_gram.select(
-            F.explode("_eval_docs").alias(id_col), "_in_train"
-        )
+        grams.withColumn("_in_train", in_train)
+        .filter(F.col("split") == eval_split)
         # fingerprint grams are distinct within a doc, so rows per doc =
         # fingerprint size and the overlap is a plain conditional sum
         .groupBy(id_col)

@@ -2591,8 +2591,9 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "beyond-reference eval-hygiene op — train/test decontamination "
     "(operators/sampling.py:split_contamination): winnowed md5-8-gram "
     "fingerprint overlap between the deterministic test split and ANY "
-    "train doc; eval gram set broadcasts, the (100 TB) train side scans "
-    "once with NO shuffle, overlap counts are eval-sized",
+    "train doc; one text scan, one corpus-row-sized posting shuffle, "
+    "any-train flag via a spill-safe window over the gram partition — "
+    "no broadcast barrier, no per-gram posting arrays",
 )
 def split_contamination_query(
     spark: SparkSession, sf_dir: str

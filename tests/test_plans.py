@@ -156,11 +156,14 @@ def test_minhash_lsh_bucket_hash_has_no_json(spark):
 
 
 def test_split_contamination_single_text_scan(spark, tmp_path):
-    """Decontamination must read the corpus text ONCE (the inverted-
-    postings shape): exactly one scan carries the text column; the only
-    other scan is the doc_id-pruned eval-roster projection. No broadcast
-    exchange of gram sets (the shape must not assume eval grams fit in
-    driver memory)."""
+    """Decontamination must read the corpus text ONCE (the posting-window
+    shape): exactly one scan carries the text column; the only other scan
+    is the doc_id-pruned eval-roster projection. The any-train flag comes
+    from ONE window over the gram partition — no per-gram posting array
+    (collect_list would build an eval-sized in-memory buffer for a
+    boilerplate gram; WindowExec spills), and no broadcast of gram sets
+    (the first-cut broadcast shape scanned text twice, assumed eval grams
+    fit in driver memory, and benched 24x slower)."""
     from biomedical_knowledge_graph_spark.operators.sampling import (
         split_contamination,
     )
@@ -178,6 +181,12 @@ def test_split_contamination_single_text_scan(spark, tmp_path):
     with_text = [ln for ln in scans if "text" in ln.split("ReadSchema")[-1]]
     assert len(scans) == 2, plan
     assert len(with_text) == 1, plan
+    assert "collect_list" not in plan, plan
+    assert plan.count("Window") == 1, plan
+    # the gram path must not broadcast: the only broadcast allowed is the
+    # final eval-roster join (its build side is the per-doc aggregate)
+    gram_side = plan.split("Window")[-1]
+    assert "BroadcastExchange" not in gram_side, plan
 
 
 def test_repetition_features_gram_work_is_jvm_only(spark, tmp_path):

@@ -269,3 +269,45 @@ def test_pack_sequences_hand_checked_and_partition_invariant(spark):
 
     with pytest.raises(ValueError):
         pack_sequences(big, capacity=0)
+
+
+def test_pack_sequences_input_guards(spark):
+    from biomedical_knowledge_graph_spark.operators.packing import (
+        pack_sequences,
+    )
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 4)], "doc_id long, n_tok int"
+    )
+    # n_buckets must be positive (a zero modulus would silently put the
+    # whole corpus into one null bucket = one task)
+    with pytest.raises(ValueError, match="n_buckets"):
+        pack_sequences(df, token_count_col="n_tok", n_buckets=0)
+    # null token counts fail fast instead of silently shifting offsets
+    with pytest.raises((Py4JJavaError, SparkRuntimeException)):
+        pack_sequences(df, token_count_col="n_tok", capacity=8).collect()
+    # negative counts too
+    neg = spark.createDataFrame([(1, -3)], "doc_id long, n_tok int")
+    with pytest.raises((Py4JJavaError, SparkRuntimeException)):
+        pack_sequences(neg, token_count_col="n_tok", capacity=8).collect()
+    # valid precomputed counts work and match the text path
+    ok = spark.createDataFrame(
+        [(1, "a b"), (2, "c d e")], "doc_id long, text string"
+    )
+    via_text = {
+        (r["doc_id"], r["seq_in_bucket"], r["offset_in_seq"])
+        for r in pack_sequences(ok, capacity=4, bucket_col=F.lit(0)).collect()
+    }
+    with_counts = ok.withColumn("n_tok", F.lit(None).cast("int"))
+    pre = ok.selectExpr(
+        "doc_id", "size(filter(split(text, ' '), t -> length(t) > 0)) as n"
+    )
+    via_counts = {
+        (r["doc_id"], r["seq_in_bucket"], r["offset_in_seq"])
+        for r in pack_sequences(
+            pre, token_count_col="n", capacity=4, bucket_col=F.lit(0)
+        ).collect()
+    }
+    assert via_text == via_counts
