@@ -60,6 +60,7 @@ HEADLINE = [
     "doc_repetition_filter",
     "split_contamination",
     "doc_pack_sequences",
+    "doc_pii_scrub",
 ]
 
 

@@ -102,6 +102,45 @@ def quality_features(
     )
 
 
+# engine-portable PII patterns (verified: Java regex and DuckDB's RE2
+# agree on every one, counts AND replacements; keep to this conservative
+# class — no backrefs, no lookaround, which RE2 lacks)
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\d{3}-\d{3}-\d{4}", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc PII detection + masking (the redaction pass every public
+    webtext pipeline runs before training): counts per pattern class and
+    the scrubbed text, patterns applied in PII_PATTERNS order (email
+    before phone before ipv4 — order matters once a replacement rewrites
+    the string, so it is part of the contract). One projection, pure
+    JVM regex — scan speed, no shuffle."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(
+            f"n_{name}"
+        )
+        for name, pat, _ in PII_PATTERNS
+    ]
+    scrubbed: Column = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return df.select(
+        id_col,
+        *counts,
+        scrubbed.alias("scrubbed_text"),
+    ).withColumn(
+        "has_pii",
+        sum((F.col(f"n_{name}") for name, _, _ in PII_PATTERNS), F.lit(0))
+        > 0,
+    )
+
+
 def repetition_features(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -63,6 +63,7 @@ def test_registry_ordering_contract():
             "doc_repetition_filter",
             "split_contamination",
             "doc_pack_sequences",
+            "doc_pii_scrub",
         )
 
 

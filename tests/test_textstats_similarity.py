@@ -203,3 +203,35 @@ def test_bm25_topk_semantics_and_determinism(spark):
         docs.repartition(7, "doc_id"), ["rare", "common"], k=10
     ).collect()
     assert [tuple(r) for r in repartitioned] == [tuple(r) for r in out]
+
+
+def test_pii_scrub_hand_checked(spark):
+    from biomedical_knowledge_graph_spark.operators.textstats import (
+        pii_scrub,
+    )
+
+    rows = [
+        (1, "mail bob.smith+x@sub.example.co or call 555-123-4567 now"),
+        (2, "server at 10.0.255.1 and 192.168.1.2, no mail"),
+        # an @host that is a bare IP is NOT an email (no alpha TLD) but
+        # IS an ipv4 hit; masking order is email -> phone -> ip
+        (3, "ping x@1.2.3.4 ok"),
+        (4, "clean text with digits 12345 and a-b dashes"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    r1 = out[1]
+    assert (r1["n_email"], r1["n_phone"], r1["n_ipv4"]) == (1, 1, 0)
+    assert r1["scrubbed_text"] == "mail <EMAIL> or call <PHONE> now"
+    assert r1["has_pii"] is True
+    r2 = out[2]
+    assert (r2["n_email"], r2["n_phone"], r2["n_ipv4"]) == (0, 0, 2)
+    assert r2["scrubbed_text"] == "server at <IP> and <IP>, no mail"
+    r3 = out[3]
+    assert (r3["n_email"], r3["n_phone"], r3["n_ipv4"]) == (0, 0, 1)
+    assert r3["scrubbed_text"] == "ping x@<IP> ok"
+    r4 = out[4]
+    assert r4["has_pii"] is False
+    assert r4["scrubbed_text"] == rows[3][1]
+    assert out[5]["scrubbed_text"] == "" and out[5]["has_pii"] is False
