@@ -61,6 +61,7 @@ HEADLINE = [
     "split_contamination",
     "doc_pack_sequences",
     "doc_pii_scrub",
+    "doc_weighted_sample",
 ]
 
 

@@ -132,6 +132,61 @@ def stratified_exact_sample(
     )
 
 
+_KNUTH = 2654435761  # Knuth's multiplicative constant
+_M31_SAMPLING = (1 << 31) - 1
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    stratum_col: str | None = None,
+    scale: int = 10**6,
+    flag_name: str = "picked",
+) -> DataFrame:
+    """Deterministic weight-biased top-k selection (per stratum):
+    quality-weighted data picking — the selection step of
+    quality-curriculum / data-mixture pipelines, where higher-weight
+    documents must be chosen preferentially but the pick must be a pure
+    function of the data (re-runnable on any cluster, any partitioning).
+
+    priority = (h(id) · scale) div max(weight, 1) with h a multiplicative
+    integer hash — all BIGINT arithmetic, so ANY engine computes the
+    identical pick (no float pow as in Efraimidis–Spirakis keys, whose
+    cross-engine bit-stability is not guaranteed). Doubling a doc's
+    weight halves its expected priority; the k smallest (priority, id)
+    per stratum win. Weights must be non-negative integers (scale floats
+    yourself — that keeps the contract exact).
+
+    One shuffle on the stratum key; each stratum ranks in a single task
+    (same trade as stratified_exact_sample — use the threshold-flag
+    sampler for strata beyond a task's comfort zone)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    reserved = {"_h", "_prio", "_rk"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"weighted_priority_sample uses temp columns {sorted(reserved)} "
+            "already present in the input — rename them first"
+        )
+    h = (
+        (F.col(id_col).cast("long") % _M31_SAMPLING) * _KNUTH
+    ) % _M31_SAMPLING
+    prio = F.expr(
+        f"(_h * {int(scale)}L) div greatest(cast({weight_col} as bigint), 1L)"
+    )
+    parts = [stratum_col] if stratum_col is not None else []
+    w = Window.partitionBy(*parts).orderBy(F.col("_prio"), F.col(id_col))
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_prio", prio)
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn(flag_name, F.col("_rk") <= k)
+        .drop("_h", "_prio", "_rk")
+    )
+
+
 def split_contamination(
     df: DataFrame,
     id_col: str = "doc_id",

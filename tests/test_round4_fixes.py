@@ -64,6 +64,7 @@ def test_registry_ordering_contract():
             "split_contamination",
             "doc_pack_sequences",
             "doc_pii_scrub",
+            "doc_weighted_sample",
         )
 
 

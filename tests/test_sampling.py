@@ -311,3 +311,39 @@ def test_pack_sequences_input_guards(spark):
         ).collect()
     }
     assert via_text == via_counts
+
+
+def test_weighted_priority_sample_bias_and_determinism(spark):
+    from biomedical_knowledge_graph_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    # 1500 light docs (weight 1) vs 500 heavy (weight 10): the heavy
+    # quarter must dominate the top-200 pick (expected share ~77%;
+    # uniform would give 25%)
+    rows = [(i, 10 if i % 4 == 0 else 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, wt int")
+    out = weighted_priority_sample(df, "doc_id", "wt", k=200)
+    assert out.count() == 2000  # flag, not filter
+    picked = [r.doc_id for r in out.filter("picked").collect()]
+    assert len(picked) == 200
+    heavy = sum(1 for i in picked if i % 4 == 0)
+    assert heavy > 100, heavy  # way above the uniform 50
+    # bit-identical under a different partitioning
+    repicked = {
+        r.doc_id
+        for r in weighted_priority_sample(
+            df.repartition(17), "doc_id", "wt", k=200
+        )
+        .filter("picked")
+        .collect()
+    }
+    assert repicked == set(picked)
+    # zero/negative weights are clamped to 1, not a crash or a div-0
+    z = spark.createDataFrame([(1, 0), (2, 5)], "doc_id long, wt int")
+    assert weighted_priority_sample(z, "doc_id", "wt", k=1).count() == 2
+    with pytest.raises(ValueError, match="k must be positive"):
+        weighted_priority_sample(df, "doc_id", "wt", k=0)
+    clash = df.withColumn("_prio", F.lit(1))
+    with pytest.raises(ValueError, match="_prio"):
+        weighted_priority_sample(clash, "doc_id", "wt", k=5)
