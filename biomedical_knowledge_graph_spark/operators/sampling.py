@@ -236,10 +236,18 @@ def split_contamination(
         keep=keep,
     )
     # the split label is a pure function of the id (md5 threshold), so it
-    # re-projects after the fingerprint instead of joining anything back
+    # re-projects after the fingerprint instead of joining anything back.
+    # explode_OUTER, not explode: InferFiltersFromGenerate turns a plain
+    # explode into a pre-Generate filter `size(child) > 0 AND
+    # isnotnull(child)`, and after projection collapse `child` is the
+    # whole md5-transform fingerprint expression — evaluated THREE times
+    # per doc (the explode stage measured 5.7 s vs 3.4 s for the
+    # projection alone at sf0.1). The
+    # outer variant infers no filter; the null row an empty fingerprint
+    # produces is dropped by a cheap post-generate predicate instead.
     grams = fp.select(
-        id_col, split, F.explode("fingerprint").alias("gram")
-    )
+        id_col, split, F.explode_outer("fingerprint").alias("gram")
+    ).filter(F.col("gram").isNotNull())
     in_train = F.max(
         (F.col("split") == train_split).cast("int")
     ).over(Window.partitionBy("gram"))

@@ -176,23 +176,33 @@ def repetition_features(
     # words tagged 'w', bigrams tagged 'b'; the CASE guard avoids Spark's
     # descending sequence(1, 0) quirk on single-token docs (same as
     # dedup.shingle_sets), and zero-token docs re-enter via the left join
-    grams = base.select(
-        id_col,
-        F.explode(
-            F.concat(
-                F.expr(
-                    "transform(_w, t -> struct('w' as kind, t as gram))"
-                ),
-                F.expr(
-                    "case when size(_w) >= 2 then "
-                    "transform(sequence(1, size(_w) - 1), i -> "
-                    "struct('b' as kind, concat(element_at(_w, i), ' ', "
-                    "element_at(_w, i + 1)) as gram)) "
-                    "else array() end"
-                ),
-            )
-        ).alias("g"),
-    ).select(id_col, F.col("g.kind").alias("kind"), F.col("g.gram").alias("gram"))
+    # explode_OUTER + null-drop, not explode: InferFiltersFromGenerate
+    # would otherwise pre-filter on `size(child) > 0` where child is this
+    # whole gram-construction expression, re-evaluating it per doc (see
+    # sampling.split_contamination for the measured cost of that rule)
+    grams = (
+        base.select(
+            id_col,
+            F.explode_outer(
+                F.concat(
+                    F.expr(
+                        "transform(_w, t -> struct('w' as kind, t as gram))"
+                    ),
+                    F.expr(
+                        "case when size(_w) >= 2 then "
+                        "transform(sequence(1, size(_w) - 1), i -> "
+                        "struct('b' as kind, concat(element_at(_w, i), ' ', "
+                        "element_at(_w, i + 1)) as gram)) "
+                        "else array() end"
+                    ),
+                )
+            ).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+        .select(
+            id_col, F.col("g.kind").alias("kind"), F.col("g.gram").alias("gram")
+        )
+    )
     counts = grams.groupBy(id_col, "kind", "gram").agg(
         F.count("*").alias("cnt")
     )
