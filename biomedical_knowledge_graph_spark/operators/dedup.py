@@ -318,7 +318,20 @@ def minhash_lsh_candidates(
     array): buckets are only ever compared for equality, so any
     deterministic content hash yields the identical candidate set — the
     earlier ``to_json`` round-trip built a throwaway JSON string per
-    (doc, band) just to feed the hash."""
+    (doc, band) just to feed the hash.
+
+    Pairs are emitted from a per-cell sorted id array (groupBy + the same
+    codegen'd posexplode/slice-explode idiom as cooccurrence_edges), NOT
+    a self-join: a self-join on the banded frame has no exchange to
+    reuse, so Spark recomputes the ENTIRE upstream signature pipeline —
+    corpus scan, shingling, the k MIN aggregates — once per join side
+    (verified: FileScan x2, HashAggregate x6 in the joined plan; the
+    local wall hides it in idle cores, a busy cluster pays double CPU).
+    The group-by shape computes signatures once. Per-cell arrays are one
+    id per member (8 bytes x occupancy); the quadratic candidate volume
+    streams out of the generators exactly as it streamed out of the
+    join, and a degenerate exact-dup mega-cell should be collapsed by
+    exact dedup upstream under either shape."""
     sliced = signatures.select(
         id_col,
         F.explode(
@@ -329,17 +342,18 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = sliced.alias("a")
-    b = sliced.alias("b")
+    cells = (
+        sliced.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        cells.select("_ids", F.posexplode("_ids").alias("_i", "_x"))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            F.col("_x").alias("id_a"),
+            F.explode(
+                F.expr("slice(_ids, _i + 2, size(_ids))")
+            ).alias("id_b"),
         )
         .distinct()
     )
