@@ -617,13 +617,20 @@ def simhash_near_pairs(
         ).alias("bs"),
     ).select(id_col, "simhash", "bs.band", "bs.slice")
 
-    # ---- occupancy guard: sub-band the complement bits of oversized cells
-    oversized = (
-        sliced.groupBy("band", "slice")
-        .agg(F.count("*").alias("_csz"))
-        .filter(F.col("_csz") > max_cell_size)
+    # ---- occupancy guard: sub-band the complement bits of oversized cells.
+    # Cell size comes from a WINDOW count over (band, slice), not a
+    # separate aggregate + broadcast join: the probe branch recomputed the
+    # whole simhash pipeline (corpus scan + 64 bit-sums) a second time —
+    # the window keeps the lineage linear, and its (band, slice) exchange
+    # doubles as the clustering the downstream cell groupBy needs (a
+    # hash partitioning on a PREFIX of the group key already co-locates
+    # every group, so no second exchange)
+    from pyspark.sql import Window as _W
+
+    tagged = sliced.withColumn(
+        "_csz",
+        F.count("*").over(_W.partitionBy("band", "slice")),
     )
-    tagged = sliced.join(F.broadcast(oversized), ["band", "slice"], "left")
     n_sub = max_hamming + 1
     # per-band complement layout: 64 - band_width bits split into n_sub
     sub_exprs = []
@@ -652,7 +659,7 @@ def simhash_near_pairs(
         "slice",
         F.explode(
             F.when(
-                F.col("_csz").isNull(),
+                F.col("_csz") <= max_cell_size,
                 F.array(
                     F.struct(
                         F.lit(-1).alias("sub_band"),
@@ -664,21 +671,37 @@ def simhash_near_pairs(
     ).select(
         id_col, "simhash", "band", "slice", "sb.sub_band", "sb.sub_slice"
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
+    # pair emission from per-cell sorted (id, simhash) arrays — same
+    # rationale as minhash_lsh_candidates: a self-join recomputes the
+    # whole simhash pipeline per side (no exchange to reuse), the
+    # groupBy computes it once and the quadratic candidates stream out
+    # of codegen'd generators
+    cells = (
+        keyed.groupBy("band", "slice", "sub_band", "sub_slice")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).alias("i"),
+                        F.col("simhash").alias("s"),
+                    )
+                )
+            ).alias("_m")
+        )
+        .filter(F.size("_m") >= 2)
+    )
     cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.slice") == F.col("b.slice"))
-            & (F.col("a.sub_band") == F.col("b.sub_band"))
-            & (F.col("a.sub_slice") == F.col("b.sub_slice"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        cells.select("_m", F.posexplode("_m").alias("_i", "_x"))
+        .select(
+            F.col("_x.i").alias("id_a"),
+            F.col("_x.s").alias("sig_a"),
+            F.explode(F.expr("slice(_m, _i + 2, size(_m))")).alias("_y"),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            "id_a",
+            "sig_a",
+            F.col("_y.i").alias("id_b"),
+            F.col("_y.s").alias("sig_b"),
         )
         .distinct()
     )
