@@ -2789,17 +2789,23 @@ DEFERRED_PAST_DRIVER_CAP = (
     # and pytest-oracled here:
     "lineitem_cube",
     "order_price_percentiles",
-    # round-5 late additions — every driver slot already holds a
-    # §2-critical or first-class query, so the new retrieval and
-    # split/sampling ops start life pytest-oracled (same compare() as
-    # the driver replica):
-    "doc_bm25_topk",
-    "doc_split_sample",
-    "doc_repetition_filter",
-    "split_contamination",
-    "doc_pack_sequences",
-    "doc_pii_scrub",
-    "doc_weighted_sample",
+    # round-6 re-triage (VERDICT r5 item 1): the seven round-5 FIRST-CLASS
+    # LLM-pipeline operators (BM25 retrieval, deterministic split/sample,
+    # Gopher repetition filter, train/test decontamination, sequence
+    # packing, PII scrub, weighted top-k selection) moved INSIDE the
+    # driver-checked window. The seven slots they take come from
+    # single-expression TPC-style demos — each is one when/regexp/
+    # percentile expression whose scalar-function semantics pytest already
+    # pins (test_deferred_queries_match_oracle runs the identical
+    # compare() the driver uses), exactly the profile COVERAGE.md's
+    # triage rule says to defer:
+    "part_name_normalized",
+    "event_type_classified",
+    "event_regulation",
+    "order_size_histogram",
+    "event_props_json",
+    "multi_status_customers",
+    "order_status_conditional_counts",
 )
 for _deferred in DEFERRED_PAST_DRIVER_CAP:
     REGISTRY[_deferred] = REGISTRY.pop(_deferred)
