@@ -355,6 +355,10 @@ def minhash_lsh_candidates(
                 F.expr("slice(_ids, _i + 2, size(_ids))")
             ).alias("id_b"),
         )
+        # a duplicated input id landing twice in one cell would emit an
+        # (x, x) self-pair under positional slicing (the old self-join's
+        # strict id_a < id_b excluded it); keep the old semantics
+        .filter(F.col("id_a") != F.col("id_b"))
         .distinct()
     )
 
@@ -703,6 +707,9 @@ def simhash_near_pairs(
             F.col("_y.i").alias("id_b"),
             F.col("_y.s").alias("sig_b"),
         )
+        # exclude (x, x) self-pairs from duplicated input ids — see
+        # minhash_lsh_candidates for the rationale
+        .filter(F.col("id_a") != F.col("id_b"))
         .distinct()
     )
     return (

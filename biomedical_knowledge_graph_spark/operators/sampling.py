@@ -157,33 +157,103 @@ def weighted_priority_sample(
     cross-engine bit-stability is not guaranteed). Doubling a doc's
     weight halves its expected priority; the k smallest (priority, id)
     per stratum win. Weights must be non-negative integers (scale floats
-    yourself — that keeps the contract exact).
+    yourself — that keeps the contract exact); a NULL or negative weight,
+    or a NULL / non-integer-castable id, raises at execution time rather
+    than silently diverging across engines (Spark's greatest() skips
+    NULLs where DuckDB's propagates them). ``id_col`` must be unique —
+    it is the total tie-break order, so a duplicated id would make the
+    k-th pick ambiguous (same precondition as pack_sequences).
 
-    One shuffle on the stratum key; each stratum ranks in a single task
-    (same trade as stratified_exact_sample — use the threshold-flag
-    sampler for strata beyond a task's comfort zone)."""
+    Plan (VERDICT r5 item 6): bounded top-k, NOT a full window sort. A
+    per-partition partial aggregate collects each task's k smallest
+    (priority, id) keys as a sorted array (map-side combined — the
+    exchange carries ≤ k keys per (stratum, input-partition)); a second
+    tiny aggregate merges those arrays per stratum and keeps the k-th
+    smallest key as the stratum's admission threshold; the thresholds
+    (one row per stratum) broadcast-join back and every row flags itself
+    with a struct comparison. The full data is never shuffled or sorted
+    — at corpus scale that is two scans and a dim-sized broadcast
+    instead of sorting whole strata inside single tasks. Equality with
+    the window-sort reference implementation is pinned in
+    tests/test_sampling.py."""
     if k <= 0:
         raise ValueError(f"k must be positive: {k}")
-    reserved = {"_h", "_prio", "_rk"} & set(df.columns)
+    reserved = {"_h", "_w", "_prio", "_key", "_pid", "_top", "_topk",
+                "_thr", f"_thr_{stratum_col}", flag_name} & set(df.columns)
     if reserved:
         raise ValueError(
-            f"weighted_priority_sample uses temp columns {sorted(reserved)} "
-            "already present in the input — rename them first"
+            f"weighted_priority_sample uses temp columns (or would "
+            f"overwrite output column {flag_name!r}) already present in "
+            f"the input: {sorted(reserved)} — rename them first"
         )
-    h = (
-        (F.col(id_col).cast("long") % _M31_SAMPLING) * _KNUTH
-    ) % _M31_SAMPLING
-    prio = F.expr(
-        f"(_h * {int(scale)}L) div greatest(cast({weight_col} as bigint), 1L)"
-    )
+    # try_cast, not cast: under ANSI mode a plain cast of a malformed id
+    # would throw CAST_INVALID_INPUT before this guard's message fires
+    raw_id = F.col(id_col).try_cast("long")
+    id_ok = F.when(
+        raw_id.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"weighted_priority_sample: {id_col} must be a "
+                    "non-null integer-castable id, got "
+                ),
+                F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(raw_id)
+    raw_w = F.col(weight_col)
+    w_ok = F.when(
+        raw_w.isNull() | (raw_w < 0),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"weighted_priority_sample: {weight_col} must be a "
+                    "non-negative weight, got "
+                ),
+                F.coalesce(raw_w.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(F.greatest(raw_w.cast("long"), F.lit(1).cast("long")))
+    h = (id_ok % _M31_SAMPLING) * _KNUTH % _M31_SAMPLING
     parts = [stratum_col] if stratum_col is not None else []
-    w = Window.partitionBy(*parts).orderBy(F.col("_prio"), F.col(id_col))
-    return (
+    base = (
         df.withColumn("_h", h)
-        .withColumn("_prio", prio)
-        .withColumn("_rk", F.row_number().over(w))
-        .withColumn(flag_name, F.col("_rk") <= k)
-        .drop("_h", "_prio", "_rk")
+        .withColumn("_w", w_ok)
+        .withColumn("_prio", F.expr(f"(_h * {int(scale)}L) div _w"))
+    )
+    key = F.struct(F.col("_prio").alias("p"), F.col(id_col).alias("i"))
+    per_task_topk = (
+        base.select(*parts, key.alias("_key"))
+        .withColumn("_pid", F.spark_partition_id())
+        .groupBy(*parts, "_pid")
+        .agg(F.slice(F.sort_array(F.collect_list("_key")), 1, k).alias("_top"))
+    )
+    thresholds = (
+        per_task_topk.groupBy(*parts)
+        .agg(
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("_top"))), 1, k
+            ).alias("_topk")
+        )
+        # k-th smallest key per stratum (or the max when the stratum has
+        # fewer than k rows — then every row is admitted, as it should be)
+        .select(
+            *[F.col(p).alias(f"_thr_{p}") for p in parts],
+            F.element_at("_topk", F.size("_topk")).alias("_thr"),
+        )
+    )
+    if parts:
+        # eqNullSafe: Window.partitionBy treats NULL stratum values as a
+        # group of their own; a plain equi-join would drop them
+        cond = F.col(stratum_col).eqNullSafe(F.col(f"_thr_{stratum_col}"))
+        joined = base.join(F.broadcast(thresholds), cond, "left").drop(
+            f"_thr_{stratum_col}"
+        )
+    else:
+        joined = base.crossJoin(F.broadcast(thresholds))
+    return (
+        joined.withColumn(flag_name, key <= F.col("_thr"))
+        .drop("_h", "_w", "_prio", "_thr")
     )
 
 

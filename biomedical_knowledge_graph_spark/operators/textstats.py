@@ -119,16 +119,21 @@ def pii_scrub(
     webtext pipeline runs before training): counts per pattern class and
     the scrubbed text, patterns applied in PII_PATTERNS order (email
     before phone before ipv4 — order matters once a replacement rewrites
-    the string, so it is part of the contract). One projection, pure
-    JVM regex — scan speed, no shuffle."""
-    counts = [
-        F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(
-            f"n_{name}"
-        )
-        for name, pat, _ in PII_PATTERNS
-    ]
+    the string, so it is part of the contract). Each count is computed
+    on the PROGRESSIVELY scrubbed string, so ``n_<class>`` equals the
+    number of ``<CLASS>`` tokens actually masked into ``scrubbed_text``
+    (ADVICE r5: counting every class on the raw text would tally e.g. a
+    phone-shaped substring inside an email local part that the email
+    mask already consumed). One projection, pure JVM regex — scan
+    speed, no shuffle."""
+    counts = []
     scrubbed: Column = F.col(text_col)
-    for _, pat, token in PII_PATTERNS:
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(scrubbed, F.lit(pat)).cast("long").alias(
+                f"n_{name}"
+            )
+        )
         scrubbed = F.regexp_replace(scrubbed, pat, token)
     return df.select(
         id_col,

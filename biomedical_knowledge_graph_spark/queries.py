@@ -2666,29 +2666,39 @@ _PII_AUGMENT_SQL = (
     f"""
     WITH aug AS (
       SELECT doc_id, {_PII_AUGMENT_SQL} AS text FROM documents
+    ), s1 AS (
+      -- counts are PROGRESSIVE (each class counted on the string the
+      -- earlier masks already rewrote), mirroring pii_scrub's contract
+      -- that n_<class> = tokens actually masked into scrubbed_text
+      SELECT doc_id, text AS t0,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+               '<EMAIL>', 'g') AS t1
+      FROM aug
+    ), s2 AS (
+      SELECT *, regexp_replace(t1, '\\d{{3}}-\\d{{3}}-\\d{{4}}',
+                               '<PHONE>', 'g') AS t2
+      FROM s1
     )
     SELECT doc_id,
-           CAST(len(regexp_extract_all(text,
+           CAST(len(regexp_extract_all(t0,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
              AS BIGINT) AS n_email,
-           CAST(len(regexp_extract_all(text, '\\d{{3}}-\\d{{3}}-\\d{{4}}'))
+           CAST(len(regexp_extract_all(t1, '\\d{{3}}-\\d{{3}}-\\d{{4}}'))
              AS BIGINT) AS n_phone,
-           CAST(len(regexp_extract_all(text,
+           CAST(len(regexp_extract_all(t2,
              '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))
              AS BIGINT) AS n_ipv4,
-           regexp_replace(regexp_replace(regexp_replace(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>',
-             'g'),
-             '\\d{{3}}-\\d{{3}}-\\d{{4}}', '<PHONE>', 'g'),
+           regexp_replace(t2,
              '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
              '<IP>', 'g') AS scrubbed_text,
-           len(regexp_extract_all(text,
+           len(regexp_extract_all(t0,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
-           + len(regexp_extract_all(text, '\\d{{3}}-\\d{{3}}-\\d{{4}}'))
-           + len(regexp_extract_all(text,
+           + len(regexp_extract_all(t1, '\\d{{3}}-\\d{{3}}-\\d{{4}}'))
+           + len(regexp_extract_all(t2,
              '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))
              > 0 AS has_pii
-    FROM aug
+    FROM s2
     """,
     "beyond-reference webtext-hygiene op — PII detection + masking "
     "(operators/textstats.py:pii_scrub): engine-portable regex classes "

