@@ -18,7 +18,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from biomedical_knowledge_graph_spark.operators.components import (
@@ -1124,22 +1124,75 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_metadata",
     """
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           md5(text) AS content_hash,
-           CASE WHEN text IS NULL OR len(text) = 0 THEN 'empty'
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 29
+                     WHEN doc_id % 3 = 1 THEN 39
+                     ELSE octet_length(encode(text)) END AS BIGINT)
+             AS n_bytes,
+           CASE WHEN doc_id % 3 = 2 THEN md5(text) END AS content_hash,
+           CASE WHEN doc_id % 3 = 0 THEN 'png'
+                WHEN doc_id % 3 = 1 THEN 'jpeg'
+                WHEN text IS NULL OR len(text) = 0 THEN 'empty'
                 WHEN text LIKE '<%' THEN 'markup'
-                ELSE 'unknown' END AS format
+                ELSE 'unknown' END AS format,
+           CAST(CASE WHEN doc_id % 3 < 2 THEN doc_id % 800 + 1 END
+                AS INTEGER) AS width,
+           CAST(CASE WHEN doc_id % 3 < 2 THEN doc_id % 600 + 1 END
+                AS INTEGER) AS height
     FROM documents
     """,
     "multimodal plumbing — opaque binary column -> typed metadata via "
-    "Arrow-batched mapInPandas (decode step stubbed; plumbing real)",
+    "Arrow-batched mapInPandas; the PNG IHDR / JPEG SOFn header decode "
+    "(width/height) is REAL pure-Python struct parsing "
+    "(operators/multimodal.py:image_dimensions) exercised on "
+    "SQL-constructed well-formed image headers (1/3 PNG, 1/3 JPEG with "
+    "doc_id-derived dimensions, 1/3 raw text); only full pixel decode "
+    "remains stubbed. content_hash is masked to the text branch in this "
+    "query because DuckDB's md5() cannot hash BLOBs — the operator "
+    "hashes every payload and the binary-input hash is pinned in "
+    "tests/test_multimodal.py",
 )
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    payloads = docs.select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+
+    def be(col: Column, n_hex: int) -> Column:
+        return F.unhex(F.lpad(F.hex(col), n_hex, "0"))
+
+    wid = (F.col("doc_id") % 800 + 1).cast("int")
+    hgt = (F.col("doc_id") % 600 + 1).cast("int")
+    # well-formed PNG signature + IHDR chunk (29 bytes): magic, chunk
+    # length 13, 'IHDR', BE u32 width/height, bit-depth/color-type tail
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")),
+        be(wid, 8),
+        be(hgt, 8),
+        F.unhex(F.lit("0806000000")),
     )
-    return _mm.binary_metadata(payloads, id_col="doc_id")
+    # well-formed JPEG SOI + APP0(JFIF) + SOF0 prefix (39 bytes): the
+    # SOF0 payload is [precision u8][height u16][width u16][3 components]
+    jpeg = F.concat(
+        F.unhex(F.lit("FFD8FFE000104A46494600010100000100010000FFC0001108")),
+        be(hgt, 4),
+        be(wid, 4),
+        F.unhex(F.lit("03012200021101031101")),
+    )
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, png)
+        .when(F.col("doc_id") % 3 == 1, jpeg)
+        .otherwise(F.encode(F.col("text"), "utf-8"))
+    )
+    meta = _mm.binary_metadata(
+        docs.select("doc_id", payload.alias("payload")), id_col="doc_id"
+    )
+    return meta.select(
+        "doc_id",
+        "n_bytes",
+        F.when(F.col("doc_id") % 3 == 2, F.col("content_hash")).alias(
+            "content_hash"
+        ),
+        "format",
+        "width",
+        "height",
+    )
 
 
 @register(

@@ -155,6 +155,98 @@ def test_decode_image_is_stubbed():
         multimodal.decode_image(b"\x89PNG")
 
 
+def _png_bytes(w: int, h: int) -> bytes:
+    import struct as _s
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _s.pack(">I", 13)
+        + b"IHDR"
+        + _s.pack(">II", w, h)
+        + b"\x08\x06\x00\x00\x00"
+    )
+
+
+def _jpeg_bytes(w: int, h: int) -> bytes:
+    import struct as _s
+
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\xff\xc0\x00\x11\x08" + _s.pack(">HH", h, w) \
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    return b"\xff\xd8" + app0 + sof0
+
+
+def test_image_dimensions_header_parse():
+    """VERDICT r5 item 4: PNG IHDR / JPEG SOFn / GIF headers decode to
+    real (width, height) in pure Python — no codec library."""
+    import struct as _s
+
+    assert multimodal.image_dimensions(_png_bytes(800, 600)) == (800, 600)
+    assert multimodal.image_dimensions(_png_bytes(1, 1)) == (1, 1)
+    # JPEG: SOF0 after an APP0 segment (the normal JFIF layout)
+    assert multimodal.image_dimensions(_jpeg_bytes(640, 480)) == (640, 480)
+    # JPEG with a COM segment and a progressive SOF2 instead of SOF0
+    com = b"\xff\xfe\x00\x07hello"
+    sof2 = b"\xff\xc2\x00\x11\x08" + _s.pack(">HH", 33, 44) \
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    assert multimodal.image_dimensions(b"\xff\xd8" + com + sof2) == (44, 33)
+    # DHT (C4) is NOT a SOF marker and must be walked over
+    dht = b"\xff\xc4\x00\x05\x00\x01\x02"
+    assert multimodal.image_dimensions(
+        b"\xff\xd8" + dht + _jpeg_bytes(7, 9)[2:]
+    ) == (7, 9)
+    # GIF logical screen descriptor is little-endian
+    assert multimodal.image_dimensions(
+        b"GIF89a" + _s.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    ) == (320, 200)
+    # non-images and degenerate inputs → None, never a raise
+    for bad in (
+        None,
+        b"",
+        b"<html>",
+        b"plain",
+        b"\x89PNG\r\n\x1a\n",          # truncated PNG
+        _png_bytes(5, 5)[:20],          # truncated IHDR
+        b"\xff\xd8\xff",                # bare JPEG SOI
+        b"\xff\xd8\x00\x11garbage",     # desynchronized marker chain
+        b"\xff\xd8\xff\xc0\x00\x01",    # SOF with impossible length
+        b"GIF89a\x01",                  # truncated GIF
+    ):
+        assert multimodal.image_dimensions(bad) is None, bad
+
+
+def test_image_dimensions_never_raises_on_hostile_bytes():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=64))
+    def check(blob):
+        # web-crawl payloads are hostile: the parser must return a tuple
+        # or None, never raise, even when the blob starts like an image
+        for prefix in (b"", b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF8"):
+            out = multimodal.image_dimensions(prefix + blob)
+            assert out is None or (
+                isinstance(out, tuple) and len(out) == 2
+            )
+
+    check()
+
+
+def test_binary_metadata_emits_decoded_dimensions(spark):
+    df = spark.createDataFrame(
+        [
+            (1, _png_bytes(12, 34)),
+            (2, _jpeg_bytes(56, 78)),
+            (3, b"<html>not an image</html>"),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in multimodal.binary_metadata(df).collect()}
+    assert (rows[1].width, rows[1].height) == (12, 34)
+    assert (rows[2].width, rows[2].height) == (56, 78)
+    assert rows[3].width is None and rows[3].height is None
+
+
 def test_lsh_bucket_deterministic(spark):
     rng = np.random.RandomState(2)
     df = spark.createDataFrame(
