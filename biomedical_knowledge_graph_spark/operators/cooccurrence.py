@@ -53,6 +53,7 @@ def cooccurrence_edges(
     prune_probe_threshold: float = 0.10,
     decision_log: dict | None = None,
     input_distinct: bool = False,
+    probe_ok: bool | None = None,
 ) -> DataFrame:
     """links(doc, entity, ...) → edges(subj, obj, shared_docs, confidence)
     with subj < obj (undirected canonical form).
@@ -92,7 +93,26 @@ def cooccurrence_edges(
     is exact); only the plan differs. ``decision_log``: a dict the
     caller owns; auto-mode records its decision + the measured rare-row
     fraction there so pipelines can surface it in lineage rows.
+
+    ``probe_ok``: both auto modes (``prune_rare="auto"`` and
+    ``encode_ids``) run a driver ACTION over ``links``; on an
+    unpersisted frame that silently re-runs everything upstream once per
+    probe. VERDICT r5 item 5: the contract is now enforced in code, not
+    docstring — with the default ``probe_ok=None`` the probes run only
+    when ``links.storageLevel`` shows the frame persisted, else both
+    auto modes fall back (prune off, encoding off) with a
+    ``probe_skipped_unpersisted`` note in ``decision_log``. Pass
+    ``probe_ok=True`` to force the probes on an unpersisted frame the
+    caller knows is cheap to scan (e.g. a bare table read), or
+    ``probe_ok=False`` to forbid them outright.
     """
+    if probe_ok is None:
+        level = links.storageLevel
+        probe_ok = bool(level.useMemory or level.useDisk)
+    if not probe_ok and encode_ids:
+        encode_ids = False
+        if decision_log is not None:
+            decision_log["encode_ids_skipped_unpersisted"] = True
     # NO pre-distinct: the pair stage aggregates with collect_set, whose
     # map-side partial aggregation dedupes (doc, entity) before the
     # shuffle anyway — a distinct() here is one full extra shuffle on a
@@ -111,10 +131,18 @@ def cooccurrence_edges(
         # needs, collapsed to two scalars — total (doc, entity) mass and
         # the mass carried by entities with df < min_count (exactly the
         # rows pruning would delete). NOTE this is an ACTION over
-        # ``links``; like encode_ids' injectivity probe, opt into auto
-        # only where links is persisted (the pipeline) or cheap to scan.
+        # ``links``; gated on ``probe_ok`` (persisted input or explicit
+        # caller opt-in) so an unpersisted frame never pays a silent
+        # second upstream scan.
         prune_rare = False
-        if prune_eligible:
+        if not probe_ok:
+            if decision_log is not None:
+                decision_log.update(
+                    prune_rare=False,
+                    prune_rare_mode="auto-skipped-unpersisted",
+                    rare_row_frac=None,
+                )
+        elif prune_eligible:
             probe_agg = (
                 F.count("*") if input_distinct else F.countDistinct(doc_col)
             )

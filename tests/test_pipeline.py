@@ -163,7 +163,10 @@ def test_prune_rare_auto_mode(spark):
     for d in range(5):
         rows += [(f"d{d}", "A"), (f"d{d}", "B")]
     rows += [("d0", "C"), ("d1", "C"), ("d2", "D"), ("d0", "E"), ("d3", "F")]
-    tailed = spark.createDataFrame(rows, "doc_id string, canonical_id string")
+    # persisted: auto mode only probes persisted inputs (r6 contract)
+    tailed = spark.createDataFrame(
+        rows, "doc_id string, canonical_id string"
+    ).persist()
     want = sorted(
         map(
             tuple,
@@ -189,7 +192,7 @@ def test_prune_rare_auto_mode(spark):
     ]
     dense = spark.createDataFrame(
         dense_rows, "doc_id string, canonical_id string"
-    )
+    ).persist()
     want_dense = sorted(
         map(
             tuple,
@@ -218,6 +221,64 @@ def test_prune_rare_auto_mode(spark):
         decision_log=log3,
     ).collect()
     assert log3["prune_rare"] is False and log3["rare_row_frac"] is None
+
+
+def test_auto_probes_skip_unpersisted_input(spark):
+    """VERDICT r5 item 5: the auto-mode probes are driver ACTIONS over
+    ``links``; on an unpersisted frame they silently re-run everything
+    upstream. The contract is now code, not docstring: with the default
+    probe_ok=None, an unpersisted input skips BOTH probes (prune off,
+    encoding off, decision_log notes) — proven here with a poisoned
+    frame whose evaluation raises, so ANY probe action at call time
+    would blow up the construction itself."""
+    import pytest
+    from pyspark.sql import functions as F
+    from biomedical_knowledge_graph_spark.operators.cooccurrence import (
+        cooccurrence_edges,
+    )
+
+    base = spark.createDataFrame(
+        [("d0", "A"), ("d0", "B"), ("d1", "A")],
+        "doc_id string, canonical_id string",
+    )
+    poisoned = base.select(
+        "doc_id",
+        F.raise_error(F.lit("upstream scan ran")).cast("string").alias(
+            "canonical_id"
+        ),
+    )
+    log: dict = {}
+    # plan construction must NOT run any action on the poisoned frame
+    out = cooccurrence_edges(
+        poisoned,
+        min_count=3,
+        prune_rare="auto",
+        encode_ids=True,
+        decision_log=log,
+    )
+    assert log["prune_rare_mode"] == "auto-skipped-unpersisted"
+    assert log["encode_ids_skipped_unpersisted"] is True
+    # the frame itself is genuinely poisoned — forcing it raises
+    with pytest.raises(Exception, match="upstream scan ran"):
+        out.collect()
+    # probe_ok=True restores the probes (caller vouches the scan is
+    # cheap) — on a healthy unpersisted frame the probe runs and logs
+    log2: dict = {}
+    cooccurrence_edges(
+        base, min_count=3, prune_rare="auto", probe_ok=True,
+        decision_log=log2,
+    ).collect()
+    assert log2["prune_rare_mode"] == "auto"
+    # output parity: unpersisted auto (probes skipped) == forced-off
+    want = sorted(
+        map(tuple, cooccurrence_edges(base, min_count=1,
+                                      prune_rare=False).collect())
+    )
+    got = sorted(
+        map(tuple, cooccurrence_edges(base, min_count=1,
+                                      prune_rare="auto").collect())
+    )
+    assert got == want
 
 
 def test_pipeline_lineage_records_prune_decision(spark, tmp_path):
