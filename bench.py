@@ -62,6 +62,12 @@ HEADLINE = [
     "doc_pack_sequences",
     "doc_pii_scrub",
     "doc_weighted_sample",
+    # round 6 webtext additions: C4 corpus-level boilerplate removal
+    # (two-shuffle window-count plan), C4 per-line heuristics and URL
+    # canonicalization (both zero-shuffle projections)
+    "doc_remove_repeated_lines",
+    "doc_c4_line_filter",
+    "doc_url_normalize",
 ]
 
 

@@ -1,0 +1,138 @@
+"""Corpus-level boilerplate removal for webtext training pipelines.
+
+Two standard cleanup passes every public web corpus runs (C4, RefinedWeb,
+Gopher):
+
+- ``remove_repeated_lines``: the C4 rule — a LINE occurring ≥ ``min_count``
+  times across the corpus is boilerplate ("subscribe to our newsletter",
+  cookie banners, nav text) and is stripped from every document. This is a
+  corpus-global operator: line frequencies need one exchange.
+- ``c4_line_filter``: the C4 per-line heuristics — keep only lines with a
+  minimum word count and terminal punctuation, drop lines mentioning
+  javascript/cookies/lorem-ipsum and lines containing curly braces (code).
+  Pure per-document projection: ZERO shuffle, scan speed, no Python.
+
+Both preserve original line order and emit per-doc removal counters so the
+pipeline's lineage rows can track how much each pass deleted.
+
+Scale notes (100 TB): remove_repeated_lines is exactly two shuffles —
+(1) lines exchanged on the line value for a window count (the same
+WindowExec-over-partition trick split_contamination uses: a boilerplate
+line shared by half the corpus becomes one spillable sorted run inside a
+window partition, never an in-memory aggregation buffer or a hot join
+key), then (2) the surviving lines group back on doc id for reassembly.
+There is deliberately NO hashed-line variant: partitioning the exchange by
+xxhash64(line) would shrink shuffle keys but a collision would silently
+merge two different lines' counts — the exactness contract wins; the
+shuffle already carries (id, pos, line) and lines are short.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def remove_repeated_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 3,
+    sep: str = "\n",
+) -> DataFrame:
+    """Strip every line occurring ≥ ``min_count`` times corpus-wide.
+
+    Output: (id_col, text_clean, n_lines, n_removed) — one row per input
+    document (docs whose every line is boilerplate survive with
+    ``text_clean = ''``). Counting is OCCURRENCE-based like C4's "any line
+    that appeared more than three times in the corpus" (a doc repeating
+    its own line contributes every repetition), which is what makes the
+    window count exact without a per-(line, doc) dedup pass.
+
+    Plan: posexplode(split) → window count over the line partition →
+    one groupBy(id) that rebuilds the document from the kept lines in
+    original order (collect_list skips the NULL the when() emits for
+    removed lines) and counts both tallies in the same aggregate — two
+    shuffles total, no join-back, no driver action.
+    """
+    if min_count < 2:
+        raise ValueError(f"min_count must be ≥ 2: {min_count}")
+    # coalesce: a NULL text must survive as an empty doc, not vanish from
+    # the output (posexplode of NULL emits no rows)
+    lines = df.select(
+        id_col,
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), F.lit(sep), -1)
+        ).alias("_pos", "_line"),
+    )
+    repeated = (
+        F.count("*").over(Window.partitionBy("_line")) >= min_count
+    )
+    kept_struct = F.when(
+        ~F.col("_rep"), F.struct(F.col("_pos"), F.col("_line"))
+    )
+    return (
+        lines.withColumn("_rep", repeated)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.col("_rep").cast("long")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["_line"],
+                ),
+                sep,
+            ).alias("text_clean"),
+        )
+        .select(id_col, "text_clean", "n_lines", "n_removed")
+    )
+
+
+# the C4 heuristics' drop-terms, mirrored verbatim in oracle SQL
+C4_BAD_TERMS: tuple[str, ...] = ("javascript", "lorem ipsum", "cookie")
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    require_terminal_punct: bool = True,
+    sep: str = "\n",
+) -> DataFrame:
+    """C4 per-line cleanup: keep lines with ≥ ``min_words`` whitespace
+    words, (optionally) ending in terminal punctuation (. ! ? ")
+    and containing no curly brace or drop-term (``C4_BAD_TERMS``,
+    case-insensitive). Output: (id_col, text_clean, n_lines, n_kept).
+
+    Entirely higher-order array functions over the split — a single
+    projection, zero shuffle, zero Python: the 100 TB path is the scan
+    itself."""
+    if min_words < 1:
+        raise ValueError(f"min_words must be ≥ 1: {min_words}")
+
+    def keep(line):
+        trimmed = F.trim(line)
+        ok = (
+            F.size(F.filter(F.split(trimmed, " ", -1), lambda w: F.length(w) > 0))
+            >= min_words
+        )
+        if require_terminal_punct:
+            ok = ok & F.substring(trimmed, -1, 1).isin(".", "!", "?", '"')
+        lower = F.lower(trimmed)
+        ok = ok & ~lower.contains("{") & ~lower.contains("}")
+        for term in C4_BAD_TERMS:
+            ok = ok & ~lower.contains(term)
+        return ok
+
+    split = F.split(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit(sep), -1
+    )
+    kept = F.filter(split, keep)
+    return df.select(
+        id_col,
+        F.array_join(kept, sep).alias("text_clean"),
+        F.size(split).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+    )

@@ -2816,6 +2816,216 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars", F.col("picked"))
 
 
+# deterministic multi-line augmentation for the boilerplate ops: the
+# synthetic corpus is single-line, so both engines append one repeated
+# boilerplate line per residue class (corpus-frequent -> removed) plus a
+# unique trailer (kept) and one universal footer (removed)
+_BOILER_AUG_SPARK = None  # built inline below (needs F)
+_BOILER_AUG_SQL = (
+    "text || chr(10) || "
+    "CASE WHEN doc_id % 5 = 0 THEN 'Subscribe to our newsletter.' "
+    "     WHEN doc_id % 5 = 1 THEN 'All rights reserved.' "
+    "     ELSE 'trailer ' || doc_id END || chr(10) || "
+    "'Copyright 2026 Example Corp.'"
+)
+
+
+def _boiler_aug_col() -> Column:
+    return F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit("Subscribe to our newsletter.")
+        )
+        .when(F.col("doc_id") % 5 == 1, F.lit("All rights reserved."))
+        .otherwise(
+            F.concat(F.lit("trailer "), F.col("doc_id").cast("string"))
+        ),
+        F.lit("Copyright 2026 Example Corp."),
+    )
+
+
+@register(
+    "doc_remove_repeated_lines",
+    f"""
+    WITH aug AS (
+      SELECT doc_id, {_BOILER_AUG_SQL} AS t FROM documents
+    ), l AS (
+      SELECT doc_id, string_split(t, chr(10)) AS ls FROM aug
+    ), lines AS (
+      SELECT doc_id, i AS pos, ls[i] AS line
+      FROM l, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) r
+    ), cnt AS (
+      SELECT line, count(*) AS c FROM lines GROUP BY line
+    ), m AS (
+      SELECT lines.doc_id, lines.pos, lines.line, cnt.c >= 3 AS rep
+      FROM lines JOIN cnt USING (line)
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN NOT rep THEN line END, chr(10)
+                               ORDER BY pos), '') AS text_clean,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN rep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed
+    FROM m GROUP BY doc_id
+    """,
+    "beyond-reference webtext-hygiene op — C4-rule corpus-level "
+    "boilerplate line removal (operators/boilerplate.py:"
+    "remove_repeated_lines): any line occurring >= min_count times "
+    "corpus-wide is stripped from every doc, original order preserved. "
+    "Two shuffles total: window count over the line partition (the "
+    "split_contamination WindowExec trick — no join-back, no giant "
+    "aggregation buffer for corpus-wide boilerplate lines) + one "
+    "groupBy(doc) reassembly. The query injects deterministic repeated "
+    "boilerplate so the value-hash compare exercises real removals",
+)
+def doc_remove_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_knowledge_graph_spark.operators.boilerplate import (
+        remove_repeated_lines,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", _boiler_aug_col().alias("text")
+    )
+    return remove_repeated_lines(docs, min_count=3)
+
+
+@register(
+    "doc_c4_line_filter",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             {_BOILER_AUG_SQL}
+             || CASE WHEN doc_id % 2 = 0 THEN chr(10) || trim(text) || ' ok.'
+                     ELSE '' END AS t
+      FROM documents
+    ), l AS (
+      SELECT doc_id, string_split(t, chr(10)) AS ls FROM aug
+    ), lines AS (
+      SELECT doc_id, i AS pos, ls[i] AS line,
+             len(list_filter(string_split(trim(ls[i]), ' '),
+                             w -> len(w) > 0)) >= 5
+             AND right(trim(ls[i]), 1) IN ('.', '!', '?', '"')
+             AND lower(trim(ls[i])) NOT LIKE '%{{%'
+             AND lower(trim(ls[i])) NOT LIKE '%}}%'
+             AND lower(trim(ls[i])) NOT LIKE '%javascript%'
+             AND lower(trim(ls[i])) NOT LIKE '%lorem ipsum%'
+             AND lower(trim(ls[i])) NOT LIKE '%cookie%' AS keep
+      FROM l, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) r
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                               ORDER BY pos), '') AS text_clean,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM lines GROUP BY doc_id
+    """,
+    "beyond-reference webtext-hygiene op — C4 per-line heuristics "
+    "(operators/boilerplate.py:c4_line_filter): keep lines with >= "
+    "min_words words, terminal punctuation, no curly braces / "
+    "javascript / lorem-ipsum / cookie mentions. Pure higher-order "
+    "array functions in ONE projection — zero shuffle, zero Python, "
+    "the 100 TB path is the scan itself",
+)
+def doc_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_knowledge_graph_spark.operators.boilerplate import (
+        c4_line_filter,
+    )
+
+    # half the docs also carry a punctuated copy of their own text so the
+    # keep-branch sees real multi-word terminal-punct lines
+    aug = F.concat(
+        _boiler_aug_col(),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("\n"), F.trim(F.col("text")), F.lit(" ok.")),
+        ).otherwise(F.lit("")),
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", aug.alias("text")
+    )
+    return c4_line_filter(docs, min_words=5)
+
+
+# deterministic messy-URL synthesis for the url-canonicalization op (the
+# synthetic corpus has no url column): mixed-case scheme/host, ports,
+# fragments, tracking params — every branch keyed on doc_id so both
+# engines build the identical string
+_URL_AUG_SQL = (
+    "'HTTPS://WWW.Site' || (doc_id % 40) || "
+    "CASE doc_id % 4 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.Example.COM' "
+    "  WHEN 2 THEN '.org' ELSE '.net' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END || "
+    "'/Path/' || doc_id || "
+    "CASE doc_id % 3 WHEN 0 THEN "
+    "  '?utm_source=feed&id=' || doc_id || '&utm_campaign=x' "
+    "  WHEN 1 THEN '?id=' || doc_id || '&ref=abc' ELSE '' END || "
+    "CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END"
+)
+
+
+@register(
+    "doc_url_normalize",
+    f"""
+    WITH aug AS (
+      SELECT doc_id, {_URL_AUG_SQL} AS url FROM documents
+    ), parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]*@)?([^/:?#]+)', 1))
+               AS host,
+             regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS rawpath,
+             regexp_extract(url, '\\?([^#]*)', 1) AS rawq
+      FROM aug
+    ), q AS (
+      SELECT *,
+             CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+             list_filter(string_split(rawq, '&'),
+               p -> len(p) > 0 AND lower(regexp_extract(p, '^([^=]*)', 1))
+                 NOT IN ('utm_source','utm_medium','utm_campaign',
+                         'utm_term','utm_content','fbclid','gclid','ref'))
+               AS params,
+             string_split(host, '.') AS labels
+      FROM parts
+    )
+    SELECT doc_id,
+           scheme || '://' || host || path ||
+             CASE WHEN len(params) = 0 THEN ''
+                  ELSE '?' || array_to_string(params, '&') END AS url_norm,
+           host,
+           CASE WHEN len(labels) <= 1 THEN host
+                WHEN len(labels) >= 3 AND len(labels[-1]) = 2
+                     AND labels[-2] IN ('co','com','org','net','ac',
+                                        'gov','edu')
+                THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+                ELSE labels[-2] || '.' || labels[-1] END AS domain,
+           path,
+           CAST(len(params) AS BIGINT) AS n_query_params
+    FROM q
+    """,
+    "beyond-reference webtext op — URL canonicalization "
+    "(operators/urltools.py:normalize_urls): scheme/host lowercase, "
+    "port/fragment drop, tracking-param strip, eTLD+1 registrable "
+    "domain (heuristic suffix set; production broadcasts the real "
+    "public-suffix list) — the key-derivation step for the north-rule's "
+    "per-domain salting. One pure-JVM projection, zero shuffle; regexes "
+    "RE2-compatible, replicated verbatim in the oracle",
+)
+def doc_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_knowledge_graph_spark.operators.urltools import (
+        normalize_urls,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_URL_AUG_SQL).alias("url"),
+    )
+    return normalize_urls(docs)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering (finalized here, after ALL registrations): the driver's
 # correctness harness value-checks the FIRST 50 registry entries (observed
@@ -2869,6 +3079,12 @@ DEFERRED_PAST_DRIVER_CAP = (
     "event_props_json",
     "multi_status_customers",
     "order_status_conditional_counts",
+    # round-6 additions with no free driver slot (the window already
+    # holds 50 first-class/§2-cited queries); oracled via
+    # test_deferred_queries_match_oracle + the cross-scale sweep:
+    "doc_remove_repeated_lines",
+    "doc_c4_line_filter",
+    "doc_url_normalize",
 )
 for _deferred in DEFERRED_PAST_DRIVER_CAP:
     REGISTRY[_deferred] = REGISTRY.pop(_deferred)

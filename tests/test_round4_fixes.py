@@ -78,6 +78,11 @@ def test_registry_ordering_contract():
             "event_props_json",
             "multi_status_customers",
             "order_status_conditional_counts",
+            # round-6 additions with no free driver slot; oracled via
+            # test_deferred_queries_match_oracle
+            "doc_remove_repeated_lines",
+            "doc_c4_line_filter",
+            "doc_url_normalize",
         )
 
 
