@@ -30,8 +30,31 @@ from pyspark.sql import functions as F
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
-    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    return edges.unionByName(rev).filter(F.col("src") != F.col("dst")).distinct()
+    # explode-based, NOT union-based: a self-union of the same incoming
+    # frame forces Catalyst to deduplicate the second child's attributes,
+    # and when the input is a localCheckpointed LogicalRDD carrying
+    # origin constraints (every upstream operator here returns one),
+    # Union.rewriteConstraints can crash with key-not-found on the
+    # renamed attributes (seen live with minhash pairs as input). The
+    # explode emits both directions in ONE scan — no second child, no
+    # dedup, half the input traffic
+    return (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("src"), F.col("dst").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
 
 
 def _star_round(edges: DataFrame, large: bool) -> DataFrame:

@@ -463,18 +463,30 @@ def _minhash_dedup_pairs_impl(
             >= threshold
         )
     )
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     # postings-restricted exact verify: replicate each survivor pair across
     # side-a's postings, keep the shingles side b also has, count. Row size
     # stays one-shingle-per-row no matter how large a document is (a
     # collect_set + array_intersect verify would build multi-MB array rows
     # for giant docs); volume is Σ over survivor pairs of sz_a — bounded by
     # the LSH + size-ratio gates, not by the corpus.
-    pair_postings = survivors.join(
-        sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a"
-    )
-    shared = pair_postings.join(
-        sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"]
-    )
+    #
+    # Join strategy is pinned to SHUFFLE_HASH: both verify joins are
+    # partitioned exchanges, never a broadcast of an unbounded side. Left
+    # to the optimizer at bench scale, the whole postings table fits under
+    # the autoBroadcast threshold and Catalyst broadcasts the
+    # MULTI-MILLION-ROW postings against the streamed pair list — the
+    # relation build serializes millions of rows and the probe stage's
+    # parallelism gets AQE-coalesced down to the pair list's byte size
+    # (measured: 44 CPU-s in 6 tasks, the pipeline's scaling bottleneck).
+    # The reverse hint (broadcast the pair side) is no better a plan: the
+    # candidate list is O(duplicates) — corpus-shaped, not dim-shaped —
+    # so at 100 TB it cannot be a broadcast either. Shuffle-hash on the
+    # postings build side is the shape that survives every scale; AQE can
+    # still demote a genuinely-tiny side to a broadcast at runtime.
+    pair_postings = sh_a.join(survivors.hint("shuffle_hash"), "id_a")
+    shared = pair_postings.join(sh_b.hint("shuffle_hash"), ["id_b", "shingle"])
     result = (
         shared.groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count("*").alias("_inter"))
@@ -576,7 +588,7 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 6,
     bands: int | None = None,
-    max_cell_size: int = 100_000,
+    max_cell_size: int = 64,
 ) -> DataFrame:
     """(id_a, id_b, hamming ≤ max_hamming). Candidate generation by banding
     the 64-bit fingerprint into ``bands`` slices; by pigeonhole any pair
@@ -587,14 +599,24 @@ def simhash_near_pairs(
     rows). Exact hamming then via bit_count(xor) on the candidates.
 
     Occupancy guard (VERDICT r2 item 3 — real-corpus simhash bits are
-    biased, so (band, slice) cells skew): cells larger than
-    ``max_cell_size`` are RE-BANDED on the complement bits — a pair with
+    biased, so (band, slice) cells skew; and even UNIFORM fingerprints
+    overflow the ~2^(64/bands) buckets once the corpus outgrows them,
+    making unsplit candidate volume quadratic in corpus size): cells
+    larger than ``max_cell_size`` are RE-BANDED on the complement bits —
+    splitting a cell of size C costs (max_hamming+1)·C extra keyed rows
+    while not splitting costs ~C²/2 pair emissions, so the break-even is
+    C ≈ 2·(max_hamming+1) and the default threshold sits at 64 (the old
+    100 k default never fired below mega-corpus scale; measured at 440 k
+    uniform docs it left 1.2 B candidate pairs where 64 leaves ~tens of
+    millions). A pair with
     hamming ≤ h agreeing on band b differs in ≤ h of the other 64-w bits,
     so splitting those into h+1 sub-slices pigeonholes again; membership
     key becomes (band, slice, sub_band, sub_slice). Recall stays EXACT
     while expected cell occupancy drops by ~2^sub_width (128-512× for the
     default geometry) at the cost of (h+1)× row replication *within the
-    oversized cells only*. Truly identical fingerprints can't be split by
+    oversized cells only* (with the 64 default that is most cells on a
+    large corpus — the guard is the primary candidate-volume mechanism,
+    not just a skew escape hatch). Truly identical fingerprints can't be split by
     any scheme — their pair count is the query's own output size — but
     near-miss crowding (the biased-bit case) is dispersed exactly."""
     if bands is None:
@@ -710,12 +732,18 @@ def simhash_near_pairs(
         # exclude (x, x) self-pairs from duplicated input ids — see
         # minhash_lsh_candidates for the rationale
         .filter(F.col("id_a") != F.col("id_b"))
-        .distinct()
-    )
-    return (
-        cands.withColumn(
+        # exact-hamming filter BEFORE the distinct: far pairs dominate
+        # the candidate stream (uniform fingerprints put n/2^band_width
+        # docs in every cell, so candidate volume grows quadratically
+        # until the occupancy guard splits the cells), and bit_count(xor)
+        # is a two-instruction codegen expression — filtering first keeps
+        # the dedup exchange at true-pair volume instead of candidate
+        # volume (measured 41 M -> ~dup-count rows at 440 k docs)
+        .withColumn(
             "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
+    return cands

@@ -40,6 +40,17 @@ def _builder(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescing targets max(total/defaultParallelism,
+        # minPartitionSize); the 1 MB default means any post-shuffle
+        # stage under cores×1 MB of data coalesces to bytes/1MB
+        # partitions no matter how many cores exist — and CPU-dense
+        # stages (candidate generators, verify joins) carry far more
+        # work per byte than the heuristic assumes (measured: a 44
+        # CPU-s stage pinned to 6 tasks on 16 cores). 64k keeps the
+        # target at total/parallelism = one partition per core; at
+        # cluster scale partitions are megabytes and the floor never
+        # binds.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
