@@ -68,6 +68,11 @@ HEADLINE = [
     "doc_remove_repeated_lines",
     "doc_c4_line_filter",
     "doc_url_normalize",
+    # hashed-linear quality classifier (fastText-style), one zero-shuffle
+    # projection
+    "doc_quality_classifier",
+    # incremental MinHash dedup: batch vs prebuilt corpus index
+    "dedup_minhash_incremental",
 ]
 
 

@@ -21,6 +21,7 @@ matters (JVM-side, no Python).
 from __future__ import annotations
 
 from collections.abc import Iterator
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
@@ -305,6 +306,31 @@ def minhash_signatures_oph(
     )
 
 
+def banded_memberships(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 32,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(id, band, bucket) LSH band memberships — the bucket is xxhash64
+    over the band's signature slice (buckets are only compared for
+    equality, so any deterministic content hash works). This is the row
+    shape the incremental index stores: a corpus's band table keyed by
+    (band, bucket) is the join target new documents probe."""
+    return signatures.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> struct(b as band, "
+                f"xxhash64(slice(signature, b * {rows_per_band}"
+                f" + 1, {rows_per_band})) as bucket))"
+            )
+        ).alias("bb"),
+    ).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -332,16 +358,7 @@ def minhash_lsh_candidates(
     streams out of the generators exactly as it streamed out of the
     join, and a degenerate exact-dup mega-cell should be collapsed by
     exact dedup upstream under either shape."""
-    sliced = signatures.select(
-        id_col,
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), b -> struct(b as band, "
-                f"xxhash64(slice(signature, b * {rows_per_band}"
-                f" + 1, {rows_per_band})) as bucket))"
-            )
-        ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    sliced = banded_memberships(signatures, id_col, bands, rows_per_band)
     cells = (
         sliced.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
@@ -445,9 +462,30 @@ def _minhash_dedup_pairs_impl(
         bands,
         rows_per_band,
     )
+    result = verify_pairs(cands, sh, id_col, threshold)
+    # eager: materialize the (small) verified-pairs result and truncate
+    # lineage so the caller can unpersist the shared shingle scan
+    return result.localCheckpoint(eager=True)
+
+
+def verify_pairs(
+    cands: DataFrame,
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    sizes: DataFrame | None = None,
+) -> DataFrame:
+    """Exact-Jaccard verification of (id_a, id_b) candidate pairs against
+    a shingle-postings frame ``sh`` (id, shingle): size-ratio prefilter,
+    then the postings-restricted intersection count. Returns
+    (id_a, id_b, jaccard ≥ threshold). Shared by the batch and
+    incremental MinHash paths; pass precomputed ``sizes`` (id, sz) when
+    they are already stored (the incremental index) so the prefilter
+    does not re-aggregate the postings."""
     # size-ratio prefilter first (tiny sizes table; J ≥ t forces
     # min(sz)/max(sz) ≥ t) before any per-shingle work
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    if sizes is None:
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     survivors = (
         cands.join(
             sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")),
@@ -501,9 +539,141 @@ def _minhash_dedup_pairs_impl(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    # eager: materialize the (small) verified-pairs result and truncate
-    # lineage so the caller can unpersist the shared shingle scan
-    return result.localCheckpoint(eager=True)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash dedup: new documents vs an existing corpus index
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class MinHashIndex:
+    """The persisted state an incremental dedup pipeline maintains for an
+    already-ingested corpus: LSH band memberships, shingle postings and
+    per-doc shingle counts. At 100 TB each frame is a stored table —
+    ``bands`` bucketed by (band, bucket) and ``postings`` by the id — so
+    the incremental joins co-locate against them and only the NEW side
+    shuffles; locally they are plain DataFrames with identical semantics.
+    Build once with ``minhash_index``; grow by unioning a new batch's
+    index (the frames are append-only row sets)."""
+
+    bands: DataFrame  # (id, band, bucket)
+    postings: DataFrame  # (id, shingle)
+    sizes: DataFrame  # (id, sz) — stored so verify never re-aggregates
+
+    def union(self, other: "MinHashIndex") -> "MinHashIndex":
+        return MinHashIndex(
+            bands=self.bands.unionByName(other.bands),
+            postings=self.postings.unionByName(other.postings),
+            sizes=self.sizes.unionByName(other.sizes),
+        )
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 125,
+    bands: int = 25,
+    rows_per_band: int = 5,
+    seed: int = 7,
+    signature_impl: str = "jvm",
+) -> MinHashIndex:
+    """Build the incremental-dedup index for a corpus (one signature pass
+    — the same cost as the map side of ``minhash_dedup_pairs``)."""
+    sign_fn = {
+        "jvm": minhash_signatures_jvm,
+        "arrow": minhash_signatures,
+        "oph": minhash_signatures_oph,
+    }[signature_impl]
+    sh = shingle_sets(df, id_col, text_col, n)
+    sigs = sign_fn(df, id_col, text_col, n, num_hashes, seed, shingles=sh)
+    return MinHashIndex(
+        bands=banded_memberships(sigs, id_col, bands, rows_per_band),
+        postings=sh,
+        sizes=sh.groupBy(id_col).agg(F.count("*").alias("sz")),
+    )
+
+
+def minhash_dedup_pairs_incremental(
+    new_df: DataFrame,
+    index: MinHashIndex,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.8,
+    num_hashes: int = 125,
+    bands: int = 25,
+    rows_per_band: int = 5,
+    seed: int = 7,
+    signature_impl: str = "jvm",
+) -> DataFrame:
+    """Near-duplicate pairs TOUCHING a new document batch — new-vs-corpus
+    and new-vs-new, never corpus-vs-corpus — against a prebuilt
+    ``MinHashIndex``. This is the ingest-time shape of dedup at scale:
+    re-pairing the whole corpus per batch is O(corpus); this is
+    O(batch + matched buckets + touched postings).
+
+    Plan: one signature pass over the batch only; new-vs-corpus
+    candidates from an equi-join of the batch's band memberships against
+    the stored band table on (band, bucket) — with the index bucketed by
+    that key only the batch side shuffles; new-vs-new candidates from
+    the per-cell array emission (same as batch mode); both verified by
+    ``verify_pairs`` against corpus ∪ batch postings, where the
+    postings joins touch only surviving candidates' rows. Pairs are
+    canonicalized (id_a < id_b). Precondition: batch ids are disjoint
+    from corpus ids.
+
+    Output: (id_a, id_b, jaccard) — identical contract to
+    ``minhash_dedup_pairs`` restricted to pairs with ≥1 new side."""
+    sign_fn = {
+        "jvm": minhash_signatures_jvm,
+        "arrow": minhash_signatures,
+        "oph": minhash_signatures_oph,
+    }[signature_impl]
+    sh_new = shingle_sets(new_df, id_col, text_col, n).persist()
+    try:
+        sigs_new = sign_fn(
+            new_df, id_col, text_col, n, num_hashes, seed, shingles=sh_new
+        )
+        banded_new = banded_memberships(sigs_new, id_col, bands, rows_per_band)
+        # new-vs-corpus: probe the stored band table. The index side joins
+        # on its storage key; shuffle_hash (not broadcast) — the batch's
+        # memberships are batch-sized, the index corpus-sized, neither is
+        # a dim.
+        new_old = (
+            banded_new.select(
+                "band", "bucket", F.col(id_col).alias("_id_new")
+            )
+            .hint("shuffle_hash")
+            .join(
+                index.bands.select(
+                    "band", "bucket", F.col(id_col).alias("_id_old")
+                ),
+                ["band", "bucket"],
+            )
+            .select(
+                F.least("_id_new", "_id_old").alias("id_a"),
+                F.greatest("_id_new", "_id_old").alias("id_b"),
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+            .distinct()
+        )
+        # new-vs-new: standard per-cell emission within the batch
+        new_new = minhash_lsh_candidates(
+            sigs_new, id_col, bands, rows_per_band
+        )
+        cands = new_old.unionByName(new_new).distinct()
+        sh_all = index.postings.unionByName(sh_new)
+        sizes_all = index.sizes.unionByName(
+            sh_new.groupBy(id_col).agg(F.count("*").alias("sz"))
+        )
+        result = verify_pairs(cands, sh_all, id_col, threshold, sizes=sizes_all)
+        return result.localCheckpoint(eager=True)
+    finally:
+        sh_new.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -279,3 +279,85 @@ def fingerprint(
             "fingerprint"
         ),
     )
+
+
+# --- hashed linear quality classifier --------------------------------------
+
+QC_SALT = "qc-v1"
+QC_HEX_CHARS = 6  # 24-bit feature space
+QC_WEIGHT_SPAN = 1 << 19  # weights in [-2^19, 2^19)
+_QC_MULT = 2654435761  # Knuth multiplicative constant
+
+
+def _hex_to_int_sql(hex_expr: str) -> str:
+    """Engine-portable hex→int for the first QC_HEX_CHARS chars: both
+    Spark SQL and DuckDB expose md5/substring/instr with identical
+    semantics, so the SAME generated arithmetic runs on both (no conv()
+    — DuckDB lacks it)."""
+    terms = []
+    for i in range(QC_HEX_CHARS):
+        digit = (
+            f"(instr('0123456789abcdef', "
+            f"substring({hex_expr}, {i + 1}, 1)) - 1)"
+        )
+        terms.append(f"{digit} * {16 ** (QC_HEX_CHARS - 1 - i)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def qc_token_weight_sql(token_expr: str) -> str:
+    """Integer weight of one token, as an engine-portable SQL fragment:
+    feature id = first 24 md5 bits of (salt ':' token); weight = Knuth
+    multiplicative scramble of the feature id mapped into
+    [-QC_WEIGHT_SPAN, QC_WEIGHT_SPAN). Pure BIGINT arithmetic — any
+    engine computes the identical weight, which is what makes the
+    classifier's output value-checkable cross-engine."""
+    feat = _hex_to_int_sql(
+        f"md5(concat('{QC_SALT}:', {token_expr}))"
+    )
+    # plain %, not pmod (DuckDB has no pmod): the product is always
+    # non-negative (24-bit feature × positive constant < 2^63), so both
+    # engines' % agree
+    return (
+        f"((CAST({feat} AS BIGINT) * {_QC_MULT}) % "
+        f"{2 * QC_WEIGHT_SPAN} - {QC_WEIGHT_SPAN})"
+    )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Model-based quality filtering — the fastText-style linear
+    classifier pass (CCNet / GPT-3 / LLaMA pipelines) that scores every
+    document and gates training admission, expressed as ONE zero-shuffle
+    JVM projection: score(doc) = Σ_tokens W[h(token)] / (n · span).
+
+    The hashed-feature trick is the real production shape (a linear
+    model over 2^24 hashed unigrams needs no vocabulary broadcast, just
+    a weight array); the weight VALUES here are a deterministic
+    multiplicative scramble of the feature id standing in for trained
+    weights — swap ``qc_token_weight_sql`` for a lookup into a
+    broadcast weight array to deploy a real model, the plan shape (one
+    transform + aggregate over the token array, scan speed) is
+    unchanged. All arithmetic is BIGINT until the final 6-dp division,
+    so Spark and the DuckDB oracle agree bit-for-bit.
+
+    Output: (id, n_tokens, logit_num, score ∈ [-1, 1], keep)."""
+    w = qc_token_weight_sql("t")
+    ts = (
+        f"filter(split(lower(coalesce({text_col}, '')), ' '), "
+        f"t -> length(t) > 0)"
+    )
+    logit = F.expr(f"aggregate({ts}, CAST(0 AS BIGINT), (acc, t) -> acc + {w})")
+    n = F.expr(f"size({ts})")
+    return df.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        logit.alias("logit_num"),
+        F.round(
+            logit / (F.greatest(n, F.lit(1)) * F.lit(float(QC_WEIGHT_SPAN))),
+            6,
+        ).alias("score"),
+        (logit >= 0).alias("keep"),
+    )

@@ -149,3 +149,46 @@ def test_oph_signatures_dense_and_deterministic(spark):
     # doc 1 is a single repeated char: exactly ONE distinct shingle ->
     # one filled bin, 127 borrowed — the extreme densification case
     assert 1 in s1
+
+
+def test_minhash_incremental_matches_batch_restriction(spark):
+    """Incremental dedup (batch vs prebuilt index) must equal the batch
+    operator's output restricted to pairs touching the new batch, and
+    a grown index (union) must reproduce full-corpus behavior."""
+    docs = _docs(spark)
+    baseline = docs.filter("doc_id <= 3")
+    batch = docs.filter("doc_id > 3")
+
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    new_ids = {4, 5, 6}
+    expected = {
+        p for p in full if p[0] in new_ids or p[1] in new_ids
+    }
+
+    idx = dedup.minhash_index(baseline)
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_dedup_pairs_incremental(
+            batch, idx, threshold=0.5
+        ).collect()
+    }
+    assert got == expected
+    # baseline-only pairs (1,2 exact dups; 1-3 near) are excluded
+    assert all(p[0] in new_ids or p[1] in new_ids for p in got)
+
+    # grow the index with the batch, dedup a further batch of exact dups
+    # of doc 4 — both the old-corpus copy and the first-batch copy are hit
+    idx2 = idx.union(dedup.minhash_index(batch))
+    batch2 = spark.createDataFrame(
+        [(7, DOCS[3][1])], "doc_id long, text string"
+    )
+    got2 = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_dedup_pairs_incremental(
+            batch2, idx2, threshold=0.5
+        ).collect()
+    }
+    assert (4, 7) in got2

@@ -83,6 +83,8 @@ def test_registry_ordering_contract():
             "doc_remove_repeated_lines",
             "doc_c4_line_filter",
             "doc_url_normalize",
+            "doc_quality_classifier",
+            "dedup_minhash_incremental",
         )
 
 

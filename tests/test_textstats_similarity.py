@@ -368,3 +368,55 @@ def test_pii_scrub_counts_equal_masked_occurrences(spark):
     assert (out[1]["n_email"], out[1]["n_phone"]) == (1, 0)
     assert out[1]["scrubbed_text"] == "reach <EMAIL> today"
     assert (out[2]["n_email"], out[2]["n_phone"]) == (1, 1)
+
+
+def _py_qc_weight(token: str) -> int:
+    """Independent Python reimplementation of the classifier weight."""
+    import hashlib
+
+    from biomedical_knowledge_graph_spark.operators.textstats import (
+        _QC_MULT,
+        QC_HEX_CHARS,
+        QC_SALT,
+        QC_WEIGHT_SPAN,
+    )
+
+    hx = hashlib.md5(f"{QC_SALT}:{token}".encode()).hexdigest()[:QC_HEX_CHARS]
+    feat = int(hx, 16)
+    return (feat * _QC_MULT) % (2 * QC_WEIGHT_SPAN) - QC_WEIGHT_SPAN
+
+
+def test_hashed_linear_score(spark):
+    from biomedical_knowledge_graph_spark.operators.textstats import (
+        QC_WEIGHT_SPAN,
+        hashed_linear_score,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "The quick Brown fox"),
+            (2, ""),
+            (3, None),
+            (4, "  spaced   out  "),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in hashed_linear_score(df).collect()}
+
+    # doc 1: logit is the sum of the Python-recomputed per-token weights
+    # (tokens lowercased), score the 6-dp normalized logit
+    toks = ["the", "quick", "brown", "fox"]
+    logit = sum(_py_qc_weight(t) for t in toks)
+    assert rows[1].n_tokens == 4
+    assert rows[1].logit_num == logit
+    assert rows[1].score == round(logit / (4 * float(QC_WEIGHT_SPAN)), 6)
+    assert rows[1].keep == (logit >= 0)
+    assert -1.0 <= rows[1].score <= 1.0
+
+    # empty / NULL / whitespace-only texts survive as zero-score rows
+    for d in (2, 3):
+        assert rows[d].n_tokens == 0
+        assert rows[d].logit_num == 0
+        assert rows[d].score == 0.0
+        assert rows[d].keep is True
+    assert rows[4].n_tokens == 2
