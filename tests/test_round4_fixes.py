@@ -85,6 +85,7 @@ def test_registry_ordering_contract():
             "doc_url_normalize",
             "doc_quality_classifier",
             "dedup_minhash_incremental",
+            "dedup_minhash_stream",
         )
 
 
