@@ -73,6 +73,10 @@ HEADLINE = [
     "doc_quality_classifier",
     # incremental MinHash dedup: batch vs prebuilt corpus index
     "dedup_minhash_incremental",
+    # corpus bigram-LM perplexity scoring (CCNet-style quality signal)
+    "doc_lm_perplexity",
+    # triangle counting + clustering coefficients over the KG edge graph
+    "kg_triangles",
 ]
 
 

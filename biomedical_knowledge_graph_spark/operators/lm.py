@@ -1,0 +1,115 @@
+"""Corpus n-gram language model + perplexity scoring.
+
+The quality-filtering stage CCNet popularized (and GPT-3/LLaMA pipelines
+kept): train a language model on a corpus, score every document by its
+cross-entropy under the model, and gate/bucket on the score. The
+production form trains KenLM on a reference corpus; the distributed
+mechanics — global n-gram count aggregation, conditional-probability
+join-back, per-document entropy aggregation — are identical for any
+n-gram order, and THOSE are what this module implements natively in
+DataFrame ops (no Python in any hot path):
+
+1. bigram extraction: one projection (split → zip-shifted arrays →
+   explode);
+2. model "training": two hash aggregates over the bigram stream —
+   C(w1,w2) and C(w1·) (bigrams starting with w1) — plus a 1-row
+   distinct-unigram count for the add-k smoothing denominator;
+3. scoring: join each doc's bigrams back to the two count tables and
+   average -log2 P(w2|w1) per document.
+
+Shuffle ledger at 100 TB: the bigram aggregates are map-side-combinable
+(partial counts per task), the count tables are corpus-vocabulary-sized
+(Zipf → far smaller than the corpus; the w1 table smaller still), and
+the score join-back shuffles the bigram stream once on (w1, w2) — hot
+head-words (the most-frequent w1 keys) are exactly the skewed keys AQE
+skew-join splitting handles. The vocabulary scalar rides a broadcast
+1-row cross-join, NOT a driver collect, so the whole job is one lazy
+plan.
+
+Cross-engine note: probabilities are exact integer ratios until the
+final log2/avg, and the score is rounded to 6 dp — the same
+float-parity contract the ANN cosine queries use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def doc_bigrams(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, w1, w2) — one row per consecutive lowercase-token pair.
+    Documents with < 2 tokens emit no rows (scorers must left-join)."""
+    ts = (
+        f"filter(split(lower(coalesce({text_col}, '')),"
+        f" ' '), t -> length(t) > 0)"
+    )
+    # zip-shift: pair ts[i] with ts[i+1]; arrays_zip of the two slices
+    pairs = F.expr(
+        f"CASE WHEN size({ts}) >= 2 THEN "
+        f"arrays_zip(slice({ts}, 1, size({ts}) - 1), "
+        f"slice({ts}, 2, size({ts}) - 1)) "
+        f"ELSE array() END"
+    )
+    return df.select(
+        id_col, F.explode(pairs).alias("_bg")
+    ).select(id_col, F.col("_bg.0").alias("w1"), F.col("_bg.1").alias("w2"))
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 1,
+) -> DataFrame:
+    """Add-k-smoothed bigram cross-entropy per document, trained on the
+    corpus itself: P(w2|w1) = (C(w1,w2) + k) / (C(w1·) + k·V), score =
+    round(avg(-log2 P), 6) over the doc's bigrams (2^score = the doc's
+    perplexity under the corpus model). Output: (id, n_bigrams, score) —
+    docs with < 2 tokens get n_bigrams = 0 and a NULL score.
+
+    Training on the scored corpus itself is the demonstration shape;
+    scoring corpus B under model A is the same plan with the count
+    tables built from A (or loaded from A's published tables)."""
+    if k <= 0:
+        raise ValueError(f"smoothing k must be positive: {k}")
+    bg = doc_bigrams(df, id_col, text_col)
+    c_bigram = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c_left = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    # distinct unigrams (either position) as the smoothing vocabulary;
+    # a 1-row frame cross-joined in — never a driver action
+    vocab = (
+        bg.select(F.col("w1").alias("w"))
+        .unionByName(bg.select(F.col("w2").alias("w")))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    scored = (
+        bg.join(c_bigram, ["w1", "w2"])
+        .join(c_left, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    -F.log2(
+                        (F.col("c12") + F.lit(k))
+                        / (F.col("c1") + F.lit(k) * F.col("v"))
+                    )
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "score",
+        )
+    )

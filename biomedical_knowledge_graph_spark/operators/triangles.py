@@ -1,0 +1,115 @@
+"""Triangle counting + local clustering coefficients over the KG graph.
+
+Graph-analytics companion to pagerank.py / components.py: how clustered
+is each entity's neighborhood? The classic MapReduce-era algorithm
+(Suri & Vassilvitskii, "Counting Triangles and the Curse of the Last
+Reducer", WWW 2011) expressed as DataFrame ops:
+
+1. canonicalize to undirected distinct edges;
+2. orient every edge from lower to higher (degree, id) rank — the
+   degree-ordering trick that caps every node's OUT-degree at O(√m), so
+   wedge volume is Σ outdeg² = O(m^1.5) instead of a hub's deg²
+   (the "last reducer" hubs are exactly the skewed keys this kills);
+3. emit each node's out-neighbor pairs (wedges) from a per-node sorted
+   array — the same collect_list + posexplode/slice generator idiom as
+   the LSH cells, not a self-join (a self-join would recompute the
+   oriented-edge subtree per side);
+4. close wedges against the oriented edge set with one equi-join: every
+   match is exactly one triangle, counted once.
+
+Per-node counts credit all three corners (explode of a 3-element
+array); the local clustering coefficient is 2·T(v) / (deg(v)·(deg(v)−1)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, degree, triangles, clustering) for every node in the
+    undirected simple graph induced by ``edges`` (self-loops dropped,
+    direction and duplicates ignored)."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    # orient a→b iff rank(a) < rank(b), rank = (degree, id)
+    da = deg.select(
+        F.col("node").alias("a"), F.col("degree").alias("_dega")
+    )
+    db = deg.select(
+        F.col("node").alias("b"), F.col("degree").alias("_degb")
+    )
+    ranked = und.join(da, "a").join(db, "b")
+    fwd = (F.col("_dega") < F.col("_degb")) | (
+        (F.col("_dega") == F.col("_degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.struct("_degb", F.col("b").alias("n")))
+        .otherwise(F.struct(F.col("_dega").alias("_degb"), F.col("a").alias("n")))
+        .alias("v"),
+    )
+    # wedges from per-node rank-sorted out-neighbor arrays; pairs emitted
+    # in rank order so the closing edge has the same orientation
+    wedges = (
+        oriented.groupBy("u")
+        .agg(F.sort_array(F.collect_list("v")).alias("_ns"))
+        .filter(F.size("_ns") >= 2)
+        .select(
+            "u",
+            "_ns",
+            F.posexplode(F.expr("transform(_ns, x -> x.n)")).alias("_i", "v"),
+        )
+        .select(
+            "u",
+            "v",
+            F.explode(
+                F.expr(
+                    "slice(transform(_ns, x -> x.n), _i + 2, size(_ns))"
+                )
+            ).alias("w"),
+        )
+    )
+    closing = oriented.select(
+        F.col("u").alias("v"), F.col("v.n").alias("w")
+    )
+    tris = wedges.join(closing, ["v", "w"])
+    per_node = (
+        tris.select(
+            F.explode(F.array("u", "v", "w")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    2.0
+                    * F.coalesce("triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                ).otherwise(0.0),
+                6,
+            ).alias("clustering"),
+        )
+    )

@@ -3105,6 +3105,116 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kg_triangles",
+    f"""
+    WITH {_DICT_CTE},
+    links AS (
+      SELECT DISTINCT d.doc_id, t.entity_id
+      FROM documents d
+      JOIN dict t ON (' ' || d.text || ' ') LIKE ('% ' || t.alias || ' %')
+    ),
+    e AS (
+      SELECT a.entity_id AS x, b.entity_id AS y
+      FROM links a JOIN links b
+        ON a.doc_id = b.doc_id AND a.entity_id < b.entity_id
+      GROUP BY 1, 2 HAVING count(DISTINCT a.doc_id) >= 20
+    ),
+    tri AS (
+      SELECT e1.x AS a, e1.y AS b, e2.y AS c
+      FROM e e1
+      JOIN e e2 ON e2.x = e1.y
+      JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+    ),
+    deg AS (
+      SELECT node, count(*) AS degree FROM
+        (SELECT x AS node FROM e UNION ALL SELECT y FROM e)
+      GROUP BY 1
+    ),
+    pn AS (
+      SELECT node, count(*) AS triangles FROM
+        (SELECT a AS node FROM tri
+         UNION ALL SELECT b FROM tri
+         UNION ALL SELECT c FROM tri)
+      GROUP BY 1
+    )
+    SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+           CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+           round(CASE WHEN d.degree >= 2
+                      THEN 2.0 * coalesce(p.triangles, 0)
+                           / (d.degree * (d.degree - 1))
+                      ELSE 0 END, 6) AS clustering
+    FROM deg d LEFT JOIN pn p USING (node)
+    """,
+    "graph analytics over the KG edge graph — triangle counting + local "
+    "clustering coefficients (operators/triangles.py:triangle_counts), "
+    "Suri–Vassilvitskii degree-ordered wedges: every edge oriented "
+    "low→high (degree, id) rank caps out-degree at O(√m), wedge pairs "
+    "stream from per-node sorted arrays (no self-join recompute) and "
+    "close against the oriented edge set with one equi-join. Oracle: "
+    "exact 3-way canonical-edge join",
+)
+def kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_knowledge_graph_spark.operators.triangles import (
+        triangle_counts,
+    )
+
+    links = _doc_links(spark, sf_dir)
+    edges = cooccurrence_edges(
+        links,
+        doc_col="doc_id",
+        ent_col="entity_id",
+        min_count=20,
+        prune_rare=False,
+    )
+    return triangle_counts(edges, src="subj", dst="obj")
+
+
+@register(
+    "doc_lm_perplexity",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(coalesce(text, '')), ' '),
+                         t -> len(t) > 0) AS ts
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i) r
+      WHERE len(ts) >= 2
+    ), c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+    v AS (SELECT count(DISTINCT w) AS v FROM
+          (SELECT w1 AS w FROM bg UNION SELECT w2 FROM bg)),
+    sc AS (
+      SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(avg(-log2((c12.c12 + 1) * 1.0 / (c1.c1 + v.v))), 6)
+               AS score
+      FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+      GROUP BY bg.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           sc.score
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN sc USING (doc_id)
+    """,
+    "beyond-reference webtext op — corpus LM perplexity scoring "
+    "(operators/lm.py:bigram_lm_scores): the CCNet-style quality signal. "
+    "Trains an add-1-smoothed bigram model on the corpus (two map-side-"
+    "combinable count aggregates + a broadcast 1-row vocabulary scalar — "
+    "no driver action) and scores every doc by mean -log2 P(w2|w1); "
+    "probabilities stay exact integer ratios until the final rounded "
+    "log/avg, the same float-parity contract as the ANN cosine oracles",
+)
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_knowledge_graph_spark.operators.lm import (
+        bigram_lm_scores,
+    )
+
+    return bigram_lm_scores(load(spark, sf_dir, "documents"))
+
+
+@register(
     "dedup_minhash_stream",
     f"""
     WITH {_SH_CTE}
@@ -3219,6 +3329,8 @@ DEFERRED_PAST_DRIVER_CAP = (
     "doc_quality_classifier",
     "dedup_minhash_incremental",
     "dedup_minhash_stream",
+    "doc_lm_perplexity",
+    "kg_triangles",
 )
 for _deferred in DEFERRED_PAST_DRIVER_CAP:
     REGISTRY[_deferred] = REGISTRY.pop(_deferred)

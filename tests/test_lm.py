@@ -1,0 +1,71 @@
+"""Bigram-LM perplexity scoring: extraction edges + known-value parity."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from biomedical_knowledge_graph_spark.operators import lm
+
+DOCS = [
+    (1, "a b a b c"),
+    (2, "a b"),
+    (3, "c c c"),
+    (4, "single"),  # no bigrams
+    (5, ""),  # empty
+    (6, None),  # null
+    (7, "  A  b "),  # case + spacing → ("a","b")
+]
+
+
+def _py_scores() -> dict[int, tuple[int, float | None]]:
+    docs = {
+        i: [t for t in (txt or "").lower().split(" ") if t]
+        for i, txt in DOCS
+    }
+    bgs = {i: list(zip(ts, ts[1:])) for i, ts in docs.items()}
+    c12 = Counter(p for ps in bgs.values() for p in ps)
+    c1 = Counter(p[0] for ps in bgs.values() for p in ps)
+    vocab = {w for ps in bgs.values() for p in ps for w in p}
+    v = len(vocab)
+    out = {}
+    for i, ps in bgs.items():
+        if not ps:
+            out[i] = (0, None)
+            continue
+        s = sum(-math.log2((c12[p] + 1) / (c1[p[0]] + v)) for p in ps)
+        out[i] = (len(ps), round(s / len(ps), 6))
+    return out
+
+
+def test_bigram_extraction(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.w1, r.w2) for r in lm.doc_bigrams(df).collect()
+    }
+    assert got == {
+        (1, "a", "b"), (1, "b", "a"), (1, "b", "c"),
+        (2, "a", "b"),
+        (3, "c", "c"),
+        (7, "a", "b"),
+    } | {(1, "a", "b")}  # dup row (1,a,b) appears twice in the frame
+    rows = lm.doc_bigrams(df).collect()
+    assert len(rows) == 4 + 1 + 2 + 1  # doc1: 4, doc2: 1, doc3: 2, doc7: 1
+
+
+def test_bigram_lm_scores_match_python(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    expected = _py_scores()
+    got = {
+        r.doc_id: (r.n_bigrams, r.score)
+        for r in lm.bigram_lm_scores(df).collect()
+    }
+    assert set(got) == {i for i, _ in DOCS}
+    for i, (n, score) in expected.items():
+        assert got[i][0] == n, i
+        if score is None:
+            assert got[i][1] is None
+        else:
+            assert abs(got[i][1] - score) < 1e-6, (i, got[i][1], score)
+    # smoothed probabilities are < 1, so every defined score is positive
+    assert all(s > 0 for _, s in got.values() if s is not None)

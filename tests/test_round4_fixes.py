@@ -86,6 +86,8 @@ def test_registry_ordering_contract():
             "doc_quality_classifier",
             "dedup_minhash_incremental",
             "dedup_minhash_stream",
+            "doc_lm_perplexity",
+            "kg_triangles",
         )
 
 

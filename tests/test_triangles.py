@@ -1,0 +1,45 @@
+"""Triangle counting + clustering coefficients."""
+
+from __future__ import annotations
+
+import itertools
+
+from biomedical_knowledge_graph_spark.operators.triangles import triangle_counts
+
+
+def _rows(spark, edges):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r.node: r for r in triangle_counts(df).collect()}
+
+
+def test_triangle_plus_tail(spark):
+    # triangle 1-2-3 with a tail 3-4; messy input: dups, reversal, loop
+    got = _rows(
+        spark,
+        [("1", "2"), ("2", "3"), ("3", "1"), ("1", "3"), ("3", "4"),
+         ("4", "3"), ("2", "2")],
+    )
+    assert {(n, r.degree, r.triangles) for n, r in got.items()} == {
+        ("1", 2, 1), ("2", 2, 1), ("3", 3, 1), ("4", 1, 0),
+    }
+    assert got["1"].clustering == 1.0
+    assert got["3"].clustering == round(2 * 1 / (3 * 2), 6)
+    assert got["4"].clustering == 0.0
+
+
+def test_k5_complete_graph(spark):
+    nodes = [str(i) for i in range(5)]
+    edges = list(itertools.combinations(nodes, 2))
+    got = _rows(spark, edges)
+    # every node of K5: degree 4, C(4,2)=6 triangles, clustering 1.0
+    for n in nodes:
+        assert (got[n].degree, got[n].triangles, got[n].clustering) == (
+            4, 6, 1.0,
+        )
+
+
+def test_triangle_free_bipartite(spark):
+    edges = [(a, b) for a in ("l1", "l2") for b in ("r1", "r2", "r3")]
+    got = _rows(spark, edges)
+    assert all(r.triangles == 0 for r in got.values())
+    assert got["l1"].degree == 3 and got["r1"].degree == 2
