@@ -77,6 +77,8 @@ HEADLINE = [
     "doc_lm_perplexity",
     # triangle counting + clustering coefficients over the KG edge graph
     "kg_triangles",
+    # exact-substring dedup at token-window granularity
+    "doc_remove_repeated_windows",
 ]
 
 

@@ -136,3 +136,96 @@ def c4_line_filter(
         F.size(split).cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("n_kept"),
     )
+
+
+def remove_repeated_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup at token-window granularity (the
+    scale-practical form of Lee et al.'s "Deduplicating Training Data
+    Makes Language Models Better" suffix-array pass): any ``w``-token
+    window whose exact content occurs ≥ ``min_count`` times CORPUS-WIDE
+    is removed from every document, overlapping repeated windows merging
+    into one excised span. Output: (id, text_clean, n_tokens,
+    n_removed_tokens) — original token order preserved, counting
+    occurrence-based like remove_repeated_lines.
+
+    Plan: per-doc window hashes from ONE array projection (md5 over the
+    joined token slice — md5 for oracle parity), corpus frequency via a
+    window count over the hash partition (the same WindowExec trick as
+    remove_repeated_lines: no join-back, spillable even if one window
+    dominates the corpus), repeated windows fan out to their ≤ w covered
+    token positions (volume bounded by repeated windows only, not the
+    corpus), and one left_anti join + groupBy(id) reassembles the
+    surviving tokens. Every exchange is key-partitioned and
+    corpus-row-bounded: the token stream crosses the wire once for the
+    anti-join and once per id-aggregate, the window-hash stream once —
+    no broadcast of anything corpus-shaped."""
+    if w < 2:
+        raise ValueError(f"window must be ≥ 2 tokens: {w}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be ≥ 2: {min_count}")
+    ts = (
+        f"filter(split(coalesce({text_col}, ''), ' '), "
+        f"t -> length(t) > 0)"
+    )
+    toks = df.select(
+        id_col,
+        F.posexplode(F.expr(ts)).alias("_pos", "_tok"),
+    )
+    wins = df.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"CASE WHEN size({ts}) >= {w} THEN "
+                f"transform(sequence(0, size({ts}) - {w}), i -> "
+                f"struct(i as pos, md5(cast(concat_ws(' ', "
+                f"slice({ts}, i + 1, {w})) as binary)) as wh)) "
+                f"ELSE array() END"
+            )
+        ).alias("_w"),
+    ).select(id_col, F.col("_w.pos").alias("_wpos"), F.col("_w.wh").alias("_wh"))
+    repeated = wins.withColumn(
+        "_c", F.count("*").over(Window.partitionBy("_wh"))
+    ).filter(F.col("_c") >= min_count)
+    covered = repeated.select(
+        id_col,
+        F.explode(
+            F.expr(f"sequence(_wpos, _wpos + {w - 1})")
+        ).alias("_pos"),
+    ).distinct()
+    kept = toks.join(covered, [id_col, "_pos"], "left_anti")
+    n_all = toks.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_pos"), F.col("_tok")))
+                ),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count("*").cast("long").alias("_n_kept"),
+    )
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(n_all, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            (
+                F.coalesce("n_tokens", F.lit(0))
+                - F.coalesce("_n_kept", F.lit(0))
+            ).alias("n_removed_tokens"),
+        )
+    )

@@ -3104,6 +3104,86 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dd.minhash_dedup_pairs_incremental(new_batch, index)
 
 
+_RW_SENT = (
+    "please subscribe to our channel and turn on notifications today"
+)
+
+
+@register(
+    "doc_remove_repeated_windows",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' ' || CASE WHEN doc_id % 3 = 0 THEN '{_RW_SENT}'
+                                 ELSE 'tail ' || doc_id END AS t
+      FROM documents
+    ), toks AS (
+      SELECT doc_id,
+             list_filter(string_split(coalesce(t, ''), ' '),
+                         x -> len(x) > 0) AS ts
+      FROM aug
+    ), tok AS (
+      SELECT doc_id, i - 1 AS pos, ts[i] AS tk
+      FROM toks, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) r
+    ), wins AS (
+      SELECT doc_id, i - 1 AS wpos,
+             md5(array_to_string(ts[i:i+7], ' ')) AS wh
+      FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 6)) AS i) r
+      WHERE len(ts) >= 8
+    ), cnt AS (SELECT wh, count(*) AS c FROM wins GROUP BY wh),
+    rep AS (
+      SELECT w.doc_id, w.wpos FROM wins w JOIN cnt USING (wh)
+      WHERE c >= 2
+    ), cov AS (
+      SELECT DISTINCT doc_id, wpos + j AS pos
+      FROM rep, LATERAL (SELECT unnest(range(0, 8)) AS j) g
+    ), kept AS (
+      SELECT t.doc_id, t.pos, t.tk
+      FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+      WHERE c.pos IS NULL
+    ), nall AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+      FROM tok GROUP BY doc_id
+    ), reb AS (
+      SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS text_clean,
+             CAST(count(*) AS BIGINT) AS nk
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(reb.text_clean, '') AS text_clean,
+           CAST(coalesce(nall.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(nall.n_tokens, 0) - coalesce(reb.nk, 0)
+                AS BIGINT) AS n_removed_tokens
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN nall USING (doc_id) LEFT JOIN reb USING (doc_id)
+    """,
+    "beyond-reference webtext op — exact-substring dedup at token-window "
+    "granularity (operators/boilerplate.py:remove_repeated_windows), the "
+    "scale-practical form of Lee et al.'s suffix-array pass: any 8-token "
+    "window occurring >= 2 times corpus-wide is excised from every doc, "
+    "overlapping repeated windows merging into one span. Window-count "
+    "over the hash partition (no join-back), coverage fan-out bounded by "
+    "repeated windows only, one left_anti + groupBy reassembly. The "
+    "query injects a shared 10-token sentence into every third doc so "
+    "the value-hash compare exercises real multi-window excisions",
+)
+def doc_remove_repeated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_knowledge_graph_spark.operators.boilerplate import (
+        remove_repeated_windows,
+    )
+
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" "),
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit(_RW_SENT))
+        .otherwise(F.concat(F.lit("tail "), F.col("doc_id").cast("string"))),
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", aug.alias("text")
+    )
+    return remove_repeated_windows(docs, w=8, min_count=2)
+
+
 @register(
     "kg_triangles",
     f"""
@@ -3331,6 +3411,7 @@ DEFERRED_PAST_DRIVER_CAP = (
     "dedup_minhash_stream",
     "doc_lm_perplexity",
     "kg_triangles",
+    "doc_remove_repeated_windows",
 )
 for _deferred in DEFERRED_PAST_DRIVER_CAP:
     REGISTRY[_deferred] = REGISTRY.pop(_deferred)

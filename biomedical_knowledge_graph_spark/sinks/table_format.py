@@ -137,15 +137,41 @@ class SnapshotTable:
         return out
 
     # -- read ------------------------------------------------------------------
-    def read(self, spark: SparkSession) -> DataFrame | None:
+    def read(
+        self, spark: SparkSession, as_of: int | None = None
+    ) -> DataFrame | None:
         """One multi-path parquet relation over all live snapshot roots.
 
         ``basePath`` makes ``_snap`` (and ``_bucket``/partition cols) hive
         partition columns of a SINGLE FileScan — plan depth no longer grows
         with commit count, and ``_bucket`` filters become PartitionFilters.
         Falls back to a per-root union chain only if the merged read is
-        impossible (conflicting data types across commits)."""
-        files = self.current_files()
+        impossible (conflicting data types across commits).
+
+        ``as_of``: time travel — read the table as of snapshot number
+        ``as_of`` (every commit's manifest is retained, so any historical
+        state is one manifest lookup). Iceberg's caveat applies verbatim:
+        ``compact()``'s vacuum deletes data dirs no longer referenced by
+        HEAD, after which older snapshots that referenced them raise
+        (snapshot EXPIRED) rather than silently returning partial data."""
+        if as_of is None:
+            files = self.current_files()
+        else:
+            head = self._head()
+            if not (1 <= as_of <= head):
+                raise ValueError(
+                    f"as_of={as_of} out of range: table has snapshots"
+                    f" 1..{head}"
+                )
+            files = [
+                self._snap_dir(n) for n in self._live_snap_numbers(as_of)
+            ]
+            missing = [f for f in files if not os.path.isdir(f)]
+            if missing:
+                raise ValueError(
+                    f"snapshot {as_of} EXPIRED: its data dirs were "
+                    f"vacuumed by a later compaction: {missing}"
+                )
         if not files:
             return None
         try:

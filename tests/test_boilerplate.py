@@ -104,3 +104,56 @@ def test_c4_line_filter_optional_punct_rule(spark):
     assert strict.n_kept == 0
     assert relaxed.n_kept == 1
     assert relaxed.text_clean == "five words but no punctuation here"
+
+
+def test_remove_repeated_windows(spark):
+    from biomedical_knowledge_graph_spark.operators.boilerplate import (
+        remove_repeated_windows,
+    )
+
+    shared = "one two three four"  # 4-token window shared by docs 1 and 2
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha {shared} beta"),
+            (2, f"gamma delta {shared}"),
+            (3, "epsilon zeta eta theta iota"),
+            (4, "tiny"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in remove_repeated_windows(docs, w=4, min_count=2).collect()
+    }
+    # the shared window is excised from both docs, rest preserved in order
+    assert got[1].text_clean == "alpha beta"
+    assert got[1].n_tokens == 6 and got[1].n_removed_tokens == 4
+    assert got[2].text_clean == "gamma delta"
+    # doc 3 has no repeated window
+    assert got[3].text_clean == "epsilon zeta eta theta iota"
+    assert got[3].n_removed_tokens == 0
+    # short/empty docs survive untouched
+    assert got[4].text_clean == "tiny" and got[4].n_tokens == 1
+    assert got[5].text_clean == "" and got[5].n_tokens == 0
+
+
+def test_remove_repeated_windows_overlap_merge(spark):
+    from biomedical_knowledge_graph_spark.operators.boilerplate import (
+        remove_repeated_windows,
+    )
+
+    # docs share a 5-token run -> two overlapping repeated 4-windows per
+    # doc; coverage merges them into ONE 5-token excision
+    run = "a b c d e"
+    docs = spark.createDataFrame(
+        [(1, f"x {run} y"), (2, f"{run} z")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in remove_repeated_windows(docs, w=4, min_count=2).collect()
+    }
+    assert got[1].text_clean == "x y"
+    assert got[1].n_removed_tokens == 5
+    assert got[2].text_clean == "z"

@@ -88,6 +88,7 @@ def test_registry_ordering_contract():
             "dedup_minhash_stream",
             "doc_lm_perplexity",
             "kg_triangles",
+            "doc_remove_repeated_windows",
         )
 
 

@@ -346,3 +346,39 @@ def test_reader_snapshot_isolation_across_compact(spark, tmp_path):
     t.compact(spark, run_id="c")
     post_rows = {(r.subj, r.obj, r.w) for r in t.read(spark).collect()}
     assert pre_rows == post_rows == {("a", "b", 1), ("c", "d", 2)}
+
+
+def test_time_travel_read(spark, tmp_path):
+    """read(as_of=N) returns the table exactly as of commit N; expired
+    snapshots (vacuumed by compaction) raise instead of partial data."""
+    import pytest as _pytest
+
+    from biomedical_knowledge_graph_spark.sinks.table_format import (
+        SnapshotTable,
+    )
+
+    table = SnapshotTable(str(tmp_path / "tt"), key_cols=["k"])
+    for i in range(3):
+        df = spark.createDataFrame(
+            [(f"k{i}-{j}", i) for j in range(5)], "k string, v long"
+        )
+        table.merge_append(df, run_id=f"r{i}")
+
+    assert table.read(spark, as_of=1).count() == 5
+    assert table.read(spark, as_of=2).count() == 10
+    assert table.read(spark, as_of=3).count() == 15
+    assert table.read(spark).count() == 15
+    # snapshot-2 content is the first two batches only
+    ks = {r.k for r in table.read(spark, as_of=2).collect()}
+    assert ks == {f"k{i}-{j}" for i in range(2) for j in range(5)}
+
+    with _pytest.raises(ValueError, match="out of range"):
+        table.read(spark, as_of=9)
+    with _pytest.raises(ValueError, match="out of range"):
+        table.read(spark, as_of=0)
+
+    # compaction + vacuum expires the pre-compaction snapshots
+    table.compact(spark, run_id="compact")
+    assert table.read(spark).count() == 15
+    with _pytest.raises(ValueError, match="EXPIRED"):
+        table.read(spark, as_of=1)
