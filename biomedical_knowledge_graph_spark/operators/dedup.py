@@ -569,6 +569,10 @@ class MinHashIndex:
             sizes=self.sizes.unionByName(other.sizes),
         )
 
+    def unpersist(self) -> None:
+        """Release the shared shingle cache of a persist=True index."""
+        self.postings.unpersist()
+
 
 def minhash_index(
     df: DataFrame,
@@ -580,15 +584,28 @@ def minhash_index(
     rows_per_band: int = 5,
     seed: int = 7,
     signature_impl: str = "jvm",
+    persist: bool = False,
 ) -> MinHashIndex:
     """Build the incremental-dedup index for a corpus (one signature pass
-    — the same cost as the map side of ``minhash_dedup_pairs``)."""
+    — the same cost as the map side of ``minhash_dedup_pairs``).
+
+    ``persist=True`` caches the shared shingle scan so the index's three
+    frames (all derived from it) do not each recompute the corpus
+    shingling when the incremental verify references them — the same
+    recompute-per-reference trap minhash_lsh_candidates documents. Use
+    it whenever the index lives only as in-session derived plans (demos,
+    tests, the registry query) and release with ``index.unpersist()``;
+    a PRODUCTION index is three stored tables (write the frames once,
+    read them per batch), where re-reading is a scan, not a recompute,
+    and no cache is wanted."""
     sign_fn = {
         "jvm": minhash_signatures_jvm,
         "arrow": minhash_signatures,
         "oph": minhash_signatures_oph,
     }[signature_impl]
     sh = shingle_sets(df, id_col, text_col, n)
+    if persist:
+        sh = sh.persist()
     sigs = sign_fn(df, id_col, text_col, n, num_hashes, seed, shingles=sh)
     return MinHashIndex(
         bands=banded_memberships(sigs, id_col, bands, rows_per_band),

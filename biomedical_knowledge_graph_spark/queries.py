@@ -3100,8 +3100,12 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     baseline = docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) != 0)
     new_batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == 0)
-    index = _dd.minhash_index(baseline)
-    return _dd.minhash_dedup_pairs_incremental(new_batch, index)
+    index = _dd.minhash_index(baseline, persist=True)
+    try:
+        return _dd.minhash_dedup_pairs_incremental(new_batch, index)
+    finally:
+        # the incremental impl eagerly materializes before returning
+        index.unpersist()
 
 
 _RW_SENT = (

@@ -129,17 +129,23 @@ def stream_dedup_minhash(
             pairs.write.mode("overwrite").parquet(
                 f"{pairs_dir}/epoch={epoch_id}"
             )
+            # persist=True: the three index frames share one cached
+            # shingle scan across their three writes instead of
+            # re-shingling the batch per write
             idx = minhash_index(
-                batch_df, id_col, text_col, **minhash_kwargs
+                batch_df, id_col, text_col, persist=True, **minhash_kwargs
             )
-            for name, frame in (
-                ("bands", idx.bands),
-                ("postings", idx.postings),
-                ("sizes", idx.sizes),
-            ):
-                frame.write.mode("overwrite").parquet(
-                    f"{index_dir}/{name}/epoch={epoch_id}"
-                )
+            try:
+                for name, frame in (
+                    ("bands", idx.bands),
+                    ("postings", idx.postings),
+                    ("sizes", idx.sizes),
+                ):
+                    frame.write.mode("overwrite").parquet(
+                        f"{index_dir}/{name}/epoch={epoch_id}"
+                    )
+            finally:
+                idx.unpersist()
         finally:
             batch_df.unpersist()
 
