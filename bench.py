@@ -79,6 +79,8 @@ HEADLINE = [
     "kg_triangles",
     # exact-substring dedup at token-window granularity
     "doc_remove_repeated_windows",
+    # surface-pattern typed relation extraction (regexp groups, zero Python)
+    "kg_typed_relations",
 ]
 
 

@@ -154,44 +154,64 @@ def remove_repeated_windows(
     n_removed_tokens) — original token order preserved, counting
     occurrence-based like remove_repeated_lines.
 
-    Plan: per-doc window hashes from ONE array projection (md5 over the
-    joined token slice — md5 for oracle parity), corpus frequency via a
-    window count over the hash partition (the same WindowExec trick as
-    remove_repeated_lines: no join-back, spillable even if one window
-    dominates the corpus), repeated windows fan out to their ≤ w covered
-    token positions (volume bounded by repeated windows only, not the
-    corpus), and one left_anti join + groupBy(id) reassembles the
-    surviving tokens. Every exchange is key-partitioned and
-    corpus-row-bounded: the token stream crosses the wire once for the
-    anti-join and once per id-aggregate, the window-hash stream once —
-    no broadcast of anything corpus-shaped."""
+    Plan: the token array is materialized ONCE per row (an inlined
+    expression inside the window transform's lambda would re-run the
+    split per window element — measured ~44× recompute per doc), window
+    hashes are md5 over the joined token slice (md5 for oracle parity),
+    and corpus frequency is a map-side-combinable count aggregate whose
+    HAVING-filtered survivors inner-join back onto the window stream —
+    NOT a window count: window hashes are mostly UNIQUE, and WindowExec
+    pays per-partition-group setup (~226 µs/group measured, 49.7 CPU-s
+    for 220 k groups) where the hash aggregate pays per-row; the
+    join-back frame after HAVING is only the actually-repeated windows.
+    Repeated windows fan out to their ≤ w covered token positions
+    (volume bounded by repeated windows only, not the corpus), and one
+    left_anti join + groupBy(id) reassembles the surviving tokens.
+    Every exchange is key-partitioned and corpus-row-bounded; nothing
+    corpus-shaped is broadcast."""
     if w < 2:
         raise ValueError(f"window must be ≥ 2 tokens: {w}")
     if min_count < 2:
         raise ValueError(f"min_count must be ≥ 2: {min_count}")
-    ts = (
-        f"filter(split(coalesce({text_col}, ''), ' '), "
-        f"t -> length(t) > 0)"
-    )
-    toks = df.select(
+    # materialize the token array once per row: referencing the split
+    # expression inside the transform lambda re-evaluates it per window
+    # element (no CSE across lambda boundaries — measured ~44× per doc)
+    arr = df.select(
         id_col,
-        F.posexplode(F.expr(ts)).alias("_pos", "_tok"),
+        F.expr(
+            f"filter(split(coalesce({text_col}, ''), ' '), "
+            f"t -> length(t) > 0)"
+        ).alias("_ts"),
     )
-    wins = df.select(
+    # *_outer + null-drop, NOT plain explode: InferFiltersFromGenerate
+    # would re-evaluate the expensive generator child (the token split /
+    # the per-window md5 transform) two extra times per row as an
+    # inferred size()>0 pre-filter (the repo-wide explode rule)
+    toks = arr.select(
         id_col,
-        F.explode(
+        F.posexplode_outer("_ts").alias("_pos", "_tok"),
+    ).filter(F.col("_tok").isNotNull())
+    wins = arr.select(
+        id_col,
+        F.explode_outer(
             F.expr(
-                f"CASE WHEN size({ts}) >= {w} THEN "
-                f"transform(sequence(0, size({ts}) - {w}), i -> "
+                f"CASE WHEN size(_ts) >= {w} THEN "
+                f"transform(sequence(0, size(_ts) - {w}), i -> "
                 f"struct(i as pos, md5(cast(concat_ws(' ', "
-                f"slice({ts}, i + 1, {w})) as binary)) as wh)) "
+                f"slice(_ts, i + 1, {w})) as binary)) as wh)) "
                 f"ELSE array() END"
             )
         ).alias("_w"),
-    ).select(id_col, F.col("_w.pos").alias("_wpos"), F.col("_w.wh").alias("_wh"))
-    repeated = wins.withColumn(
-        "_c", F.count("*").over(Window.partitionBy("_wh"))
-    ).filter(F.col("_c") >= min_count)
+    ).filter(F.col("_w").isNotNull()).select(
+        id_col, F.col("_w.pos").alias("_wpos"), F.col("_w.wh").alias("_wh")
+    )
+    hot = (
+        wins.groupBy("_wh")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_wh")
+    )
+    repeated = wins.join(hot, "_wh")
     covered = repeated.select(
         id_col,
         F.explode(

@@ -53,9 +53,14 @@ def doc_bigrams(
         f"slice({ts}, 2, size({ts}) - 1)) "
         f"ELSE array() END"
     )
-    return df.select(
-        id_col, F.explode(pairs).alias("_bg")
-    ).select(id_col, F.col("_bg.0").alias("w1"), F.col("_bg.1").alias("w2"))
+    # explode_outer + null-drop: plain explode would let
+    # InferFiltersFromGenerate re-evaluate the zip-shift expression two
+    # extra times per row as an inferred size()>0 pre-filter
+    return (
+        df.select(id_col, F.explode_outer(pairs).alias("_bg"))
+        .filter(F.col("_bg").isNotNull())
+        .select(id_col, F.col("_bg.0").alias("w1"), F.col("_bg.1").alias("w2"))
+    )
 
 
 def bigram_lm_scores(

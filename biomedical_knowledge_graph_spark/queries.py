@@ -3108,6 +3108,80 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         index.unpersist()
 
 
+_REL_VERBS = {
+    "fast": "ACCELERATES",
+    "slow": "SLOWS",
+    "big": "SCALES_UP",
+    "small": "SCALES_DOWN",
+}
+
+
+def _rel_oracle_sql() -> str:
+    from biomedical_knowledge_graph_spark.operators.relations import (
+        relation_pattern,
+    )
+    from biomedical_knowledge_graph_spark.sources.testdata import (
+        DOC_ENTITY_DICT,
+    )
+
+    pat = relation_pattern(
+        [a for a, _, _ in DOC_ENTITY_DICT], list(_REL_VERBS)
+    )
+    case = " ".join(
+        f"WHEN '{v}' THEN '{lbl}'" for v, lbl in sorted(_REL_VERBS.items())
+    )
+    return f"""
+    WITH {_DICT_CTE},
+    m AS (
+      SELECT doc_id,
+             unnest(list_zip(
+               regexp_extract_all(lower(text), '{pat}', 1),
+               regexp_extract_all(lower(text), '{pat}', 2),
+               regexp_extract_all(lower(text), '{pat}', 3))) AS z
+      FROM documents
+    ), t AS (
+      SELECT doc_id, z[1] AS a1, z[2] AS vb, z[3] AS a2
+      FROM m
+    )
+    SELECT s.entity_id AS subj,
+           CASE vb {case} END AS pred,
+           o.entity_id AS obj,
+           CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_mentions
+    FROM t
+    JOIN dict s ON s.alias = t.a1
+    JOIN dict o ON o.alias = t.a2
+    WHERE s.entity_id <> o.entity_id
+    GROUP BY 1, 2, 3
+    """
+
+
+@register(
+    "kg_typed_relations",
+    _rel_oracle_sql(),
+    "KG construction, typed tier beyond co-occurrence — surface-pattern "
+    "relation extraction (operators/relations.py:pattern_typed_relations)"
+    ": one regexp_extract_all pass per capture group over the lowered "
+    "corpus (leftmost non-overlapping, identical semantics in Java regex "
+    "and RE2), zipped positionally, broadcast dictionary joins, one "
+    "(subj, pred, obj) aggregate with distinct-doc evidence counts — "
+    "zero Python, one exchange",
+)
+def kg_typed_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_knowledge_graph_spark.operators.relations import (
+        pattern_typed_relations,
+    )
+    from biomedical_knowledge_graph_spark.sources.testdata import (
+        doc_entity_dim,
+    )
+
+    return pattern_typed_relations(
+        load(spark, sf_dir, "documents"),
+        doc_entity_dim(spark),
+        _REL_VERBS,
+    )
+
+
 _RW_SENT = (
     "please subscribe to our channel and turn on notifications today"
 )
@@ -3416,6 +3490,7 @@ DEFERRED_PAST_DRIVER_CAP = (
     "doc_lm_perplexity",
     "kg_triangles",
     "doc_remove_repeated_windows",
+    "kg_typed_relations",
 )
 for _deferred in DEFERRED_PAST_DRIVER_CAP:
     REGISTRY[_deferred] = REGISTRY.pop(_deferred)

@@ -89,6 +89,7 @@ def test_registry_ordering_contract():
             "doc_lm_perplexity",
             "kg_triangles",
             "doc_remove_repeated_windows",
+            "kg_typed_relations",
         )
 
 
