@@ -81,6 +81,8 @@ HEADLINE = [
     "doc_remove_repeated_windows",
     # surface-pattern typed relation extraction (regexp groups, zero Python)
     "kg_typed_relations",
+    # per-language corpus report card (one fused scan + one aggregate)
+    "corpus_quality_report",
 ]
 
 

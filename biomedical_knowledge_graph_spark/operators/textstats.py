@@ -64,6 +64,26 @@ def predict_lang(text_col: str = "text") -> Column:
     return F.when(scored["hits"] > 0, scored["lang"]).otherwise(F.lit("und"))
 
 
+def quality_score_col(text_col: str = "text") -> Column:
+    """The composite quality score in [0, 1] (rounded 6 dp) as a reusable
+    column expression — shared by quality_features and corpus_report so
+    the formula exists once."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks).cast("long")
+    distinct_ratio = F.round(
+        F.size(F.array_distinct(toks)) / F.greatest(n_tokens, F.lit(1)), 6
+    )
+    stop_ratio = F.round(
+        marker_hits("en", text_col) / F.greatest(n_tokens, F.lit(1)), 6
+    )
+    return F.round(
+        F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * 0.4
+        + distinct_ratio * 0.4
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.2,
+        6,
+    )
+
+
 def quality_features(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -85,12 +105,7 @@ def quality_features(
     stop_ratio = F.round(
         marker_hits("en", text_col) / F.greatest(n_tokens, F.lit(1)), 6
     )
-    score = F.round(
-        F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * 0.4
-        + distinct_ratio * 0.4
-        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.2,
-        6,
-    )
+    score = quality_score_col(text_col)
     return df.select(
         id_col,
         F.length(text_col).cast("long").alias("n_chars"),
@@ -323,6 +338,18 @@ def qc_token_weight_sql(token_expr: str) -> str:
     )
 
 
+def qc_logit_col(text_col: str = "text") -> Column:
+    """The classifier's integer logit as a reusable column expression."""
+    w = qc_token_weight_sql("t")
+    ts = (
+        f"filter(split(lower(coalesce({text_col}, '')), ' '), "
+        f"t -> length(t) > 0)"
+    )
+    return F.expr(
+        f"aggregate({ts}, CAST(0 AS BIGINT), (acc, t) -> acc + {w})"
+    )
+
+
 def hashed_linear_score(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -344,13 +371,11 @@ def hashed_linear_score(
     so Spark and the DuckDB oracle agree bit-for-bit.
 
     Output: (id, n_tokens, logit_num, score ∈ [-1, 1], keep)."""
-    w = qc_token_weight_sql("t")
-    ts = (
-        f"filter(split(lower(coalesce({text_col}, '')), ' '), "
-        f"t -> length(t) > 0)"
+    logit = qc_logit_col(text_col)
+    n = F.expr(
+        f"size(filter(split(lower(coalesce({text_col}, '')), ' '), "
+        f"t -> length(t) > 0))"
     )
-    logit = F.expr(f"aggregate({ts}, CAST(0 AS BIGINT), (acc, t) -> acc + {w})")
-    n = F.expr(f"size({ts})")
     return df.select(
         id_col,
         n.cast("long").alias("n_tokens"),
@@ -360,4 +385,47 @@ def hashed_linear_score(
             6,
         ).alias("score"),
         (logit >= 0).alias("keep"),
+    )
+
+
+def corpus_report(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-language corpus report card — the operational artifact a data
+    team reviews before a training run, gluing the quality family into
+    ONE fused projection + ONE aggregate:
+
+    (lang, n_docs, n_dup_docs, n_pii_docs, n_keep, total_tokens,
+    avg_quality) where lang is the predicted language, n_dup_docs counts
+    documents beyond the first of each exact-content group (md5),
+    n_pii_docs counts documents with any raw-text PII pattern hit
+    (equivalent to pii_scrub's has_pii: a raw hit either survives to be
+    masked or was consumed by an earlier class's mask — either way some
+    class masked), n_keep is the hashed-linear-classifier gate, and
+    avg_quality averages the composite heuristic score.
+
+    Every per-doc signal is computed in the SAME scan projection (no
+    joins between the family's frames), so the whole report is scan +
+    one map-side-combinable groupBy(lang) — the report over 100 TB costs
+    one pass."""
+    any_pii = F.lit(False)
+    for _, pat, _ in PII_PATTERNS:
+        any_pii = any_pii | (F.regexp_count(F.col(text_col), F.lit(pat)) > 0)
+    per_doc = df.select(
+        predict_lang(text_col).alias("lang"),
+        token_count(text_col).alias("_nt"),
+        quality_score_col(text_col).alias("_q"),
+        (qc_logit_col(text_col) >= 0).alias("_keep"),
+        any_pii.alias("_pii"),
+        F.md5(F.col(text_col).cast("binary")).alias("_h"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.count("*") - F.countDistinct("_h")).cast("long").alias(
+            "n_dup_docs"
+        ),
+        F.sum(F.col("_pii").cast("long")).alias("n_pii_docs"),
+        F.sum(F.col("_keep").cast("long")).alias("n_keep"),
+        F.sum("_nt").cast("long").alias("total_tokens"),
+        F.round(F.avg("_q"), 6).alias("avg_quality"),
     )

@@ -3108,6 +3108,78 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         index.unpersist()
 
 
+def _corpus_report_oracle() -> str:
+    from biomedical_knowledge_graph_spark.operators.textstats import (
+        PII_PATTERNS,
+        QC_WEIGHT_SPAN,
+        qc_token_weight_sql,
+    )
+
+    w = qc_token_weight_sql("t")
+    pii = " OR ".join(
+        f"regexp_matches(text, '{pat}')" for _, pat, _ in PII_PATTERNS
+    )
+    return f"""
+    WITH per AS (
+      SELECT
+        (SELECT CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                     WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                     WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                     WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                     ELSE 'fr' END
+         FROM (SELECT {_lang_hits_sql("de")} AS h_de,
+                      {_lang_hits_sql("en")} AS h_en,
+                      {_lang_hits_sql("es")} AS h_es,
+                      {_lang_hits_sql("fr")} AS h_fr)) AS lang,
+        CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+             AS BIGINT) AS nt,
+        (SELECT round(least(n / 64.0, 1.0) * 0.4
+                      + round(len(list_distinct(toks)) * 1.0
+                              / greatest(n, 1), 6) * 0.4
+                      + least(round(len(list_filter(toks,
+                          x -> x IN ('the', 'a', 'and', 'of', 'is'))) * 1.0
+                          / greatest(n, 1), 6) * 5, 1.0) * 0.2, 6)
+         FROM (SELECT list_filter(string_split(text, ' '),
+                                  x -> len(x) > 0) AS toks,
+                      len(list_filter(string_split(text, ' '),
+                                      x -> len(x) > 0)) AS n)) AS q,
+        coalesce(list_sum(list_transform(
+          list_filter(string_split(lower(coalesce(text, '')), ' '),
+                      t -> len(t) > 0), t -> {w})), 0) >= 0 AS keep,
+        ({pii}) AS pii,
+        md5(text) AS h
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_dup_docs,
+           CAST(sum(CASE WHEN pii THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pii_docs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(sum(nt) AS BIGINT) AS total_tokens,
+           round(avg(q), 6) AS avg_quality
+    FROM per GROUP BY lang
+    """
+
+
+@register(
+    "corpus_quality_report",
+    _corpus_report_oracle(),
+    "the corpus report card — per-language rollup gluing the quality "
+    "family (operators/textstats.py:corpus_report): predicted language, "
+    "exact-dup counts (md5 groups), raw-PII presence, classifier keep "
+    "gate, token totals, mean heuristic quality — EVERY per-doc signal "
+    "in ONE fused scan projection feeding one map-side-combinable "
+    "groupBy(lang); the report over 100 TB is one pass",
+)
+def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_knowledge_graph_spark.operators.textstats import (
+        corpus_report,
+    )
+
+    return corpus_report(load(spark, sf_dir, "documents"))
+
+
 _REL_VERBS = {
     "fast": "ACCELERATES",
     "slow": "SLOWS",
@@ -3491,6 +3563,7 @@ DEFERRED_PAST_DRIVER_CAP = (
     "kg_triangles",
     "doc_remove_repeated_windows",
     "kg_typed_relations",
+    "corpus_quality_report",
 )
 for _deferred in DEFERRED_PAST_DRIVER_CAP:
     REGISTRY[_deferred] = REGISTRY.pop(_deferred)

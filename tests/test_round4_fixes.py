@@ -90,6 +90,7 @@ def test_registry_ordering_contract():
             "kg_triangles",
             "doc_remove_repeated_windows",
             "kg_typed_relations",
+            "corpus_quality_report",
         )
 
 

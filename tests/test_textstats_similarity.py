@@ -420,3 +420,26 @@ def test_hashed_linear_score(spark):
         assert rows[d].score == 0.0
         assert rows[d].keep is True
     assert rows[4].n_tokens == 2
+
+
+def test_corpus_report(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house is big"),  # en
+            (2, "the cat and the dog of the house is big"),  # exact dup
+            (3, "der hund und die katze ist das haus"),  # de
+            (4, "contact me at bob@example.com for the offer and the rest"),
+            (5, "zzz qqq"),  # no markers -> und
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.lang: r for r in textstats.corpus_report(df).collect()}
+    assert set(rows) == {"en", "de", "und"}
+    en = rows["en"]
+    assert en.n_docs == 3 and en.n_dup_docs == 1
+    assert en.n_pii_docs == 1  # the email doc
+    assert rows["de"].n_docs == 1 and rows["de"].n_pii_docs == 0
+    assert rows["und"].n_docs == 1 and rows["und"].total_tokens == 2
+    # totals are token sums, quality averaged within the language
+    assert en.total_tokens == 10 + 10 + 10
+    assert 0.0 <= en.avg_quality <= 1.0
