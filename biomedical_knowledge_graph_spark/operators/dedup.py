@@ -309,14 +309,21 @@ def minhash_signatures_oph(
 def banded_memberships(
     signatures: DataFrame,
     id_col: str = "doc_id",
-    bands: int = 32,
-    rows_per_band: int = 4,
+    bands: int = 25,
+    rows_per_band: int = 5,
 ) -> DataFrame:
     """(id, band, bucket) LSH band memberships — the bucket is xxhash64
     over the band's signature slice (buckets are only compared for
     equality, so any deterministic content hash works). This is the row
     shape the incremental index stores: a corpus's band table keyed by
-    (band, bucket) is the join target new documents probe."""
+    (band, bucket) is the join target new documents probe.
+
+    ``bands × rows_per_band`` must equal the signature length: ``slice``
+    past the array end yields a SHORT slice, so a mismatched geometry
+    silently hashes truncated bands (far more false candidates) instead
+    of erroring. Defaults match the family's 125-hash 25×5 geometry
+    (review r6: the old 32×4 default truncated band 31 to one element
+    when applied to standard 125-hash signatures)."""
     return signatures.select(
         id_col,
         F.explode(
@@ -334,8 +341,8 @@ def banded_memberships(
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",
-    bands: int = 32,
-    rows_per_band: int = 4,
+    bands: int = 25,
+    rows_per_band: int = 5,
 ) -> DataFrame:
     """Banded LSH: (id_a, id_b) candidate pairs, id_a < id_b. One shuffle on
     (band, band-slice hash); pairs emerge only inside buckets.

@@ -87,14 +87,17 @@ def pattern_typed_relations(
     pred = F.when(F.lit(False), F.lit(""))
     for verb, label in sorted(verb_map.items()):
         pred = pred.when(F.col("_vb") == verb.lower(), F.lit(label))
+    # lower() on the dictionary side: the pattern matches LOWERED text,
+    # so extracted arguments are lowercase — a mixed-case dictionary
+    # entry must still join (review r6: 'TP53' silently matched nothing)
     subj_dim = F.broadcast(
         alias_dim.select(
-            F.col("alias").alias("_a1"), F.col("entity_id").alias("subj")
+            F.lower("alias").alias("_a1"), F.col("entity_id").alias("subj")
         )
     )
     obj_dim = F.broadcast(
         alias_dim.select(
-            F.col("alias").alias("_a2"), F.col("entity_id").alias("obj")
+            F.lower("alias").alias("_a2"), F.col("entity_id").alias("obj")
         )
     )
     return (

@@ -164,22 +164,25 @@ def weighted_priority_sample(
     it is the total tie-break order, so a duplicated id would make the
     k-th pick ambiguous (same precondition as pack_sequences).
 
-    Plan (VERDICT r5 item 6): bounded top-k, NOT a full window sort. A
-    per-partition partial aggregate collects each task's k smallest
-    (priority, id) keys as a sorted array (map-side combined — the
-    exchange carries ≤ k keys per (stratum, input-partition)); a second
-    tiny aggregate merges those arrays per stratum and keeps the k-th
-    smallest key as the stratum's admission threshold; the thresholds
-    (one row per stratum) broadcast-join back and every row flags itself
-    with a struct comparison. The full data is never shuffled or sorted
-    — at corpus scale that is two scans and a dim-sized broadcast
-    instead of sorting whole strata inside single tasks. Equality with
-    the window-sort reference implementation is pinned in
-    tests/test_sampling.py."""
+    Plan (VERDICT r5 item 6): bounded top-k, NOT a full window sort,
+    as a TREE MERGE whose every aggregation buffer is bounded: level 1
+    groups by (stratum, partition, hash-chunk) so no collect_list
+    buffer exceeds ~1/64th of a task's rows (review r6: grouping by
+    partition alone let one buffer hold the whole partition), then
+    per-partition, per-partition-bucket and per-stratum merge levels
+    each flatten ≤ a few·k-key arrays and re-slice to k, so no merge
+    buffer grows with the fleet; the k-th smallest surviving key is the
+    stratum's admission threshold, broadcast back for a struct-compare
+    flag. The (priority, id) keys cross the first exchange once — the
+    honest cost of any exact method without a partial-truncating
+    aggregate, and still far less than the window sort's full-row
+    shuffle + whole-stratum sort. Equality with the window-sort
+    reference implementation is pinned in tests/test_sampling.py."""
     if k <= 0:
         raise ValueError(f"k must be positive: {k}")
-    reserved = {"_h", "_w", "_prio", "_key", "_pid", "_top", "_topk",
-                "_thr", f"_thr_{stratum_col}", flag_name} & set(df.columns)
+    reserved = {"_h", "_w", "_prio", "_key", "_pid", "_chunk", "_pb",
+                "_top", "_topk", "_thr", f"_thr_{stratum_col}",
+                flag_name} & set(df.columns)
     if reserved:
         raise ValueError(
             f"weighted_priority_sample uses temp columns (or would "
@@ -222,24 +225,40 @@ def weighted_priority_sample(
         .withColumn("_prio", F.expr(f"(_h * {int(scale)}L) div _w"))
     )
     key = F.struct(F.col("_prio").alias("p"), F.col(id_col).alias("i"))
-    per_task_topk = (
-        base.select(*parts, key.alias("_key"))
-        .withColumn("_pid", F.spark_partition_id())
-        .groupBy(*parts, "_pid")
-        .agg(F.slice(F.sort_array(F.collect_list("_key")), 1, k).alias("_top"))
-    )
-    thresholds = (
-        per_task_topk.groupBy(*parts)
-        .agg(
+
+    def merge_level(frame: DataFrame, keys: list) -> DataFrame:
+        return frame.groupBy(*keys).agg(
             F.slice(
                 F.sort_array(F.flatten(F.collect_list("_top"))), 1, k
-            ).alias("_topk")
+            ).alias("_top")
         )
+
+    l1 = (
+        base.select(*parts, key.alias("_key"))
+        .withColumn("_pid", F.spark_partition_id())
+        # hash-chunk the level-1 groups: bounds every collect_list
+        # buffer at ~rows/64 per task instead of the whole partition
+        .withColumn("_chunk", F.pmod(F.col("_key.p"), F.lit(64)))
+        .groupBy(*parts, "_pid", "_chunk")
+        .agg(F.slice(F.sort_array(F.collect_list("_key")), 1, k).alias("_top"))
+    )
+    l2 = merge_level(l1, [*parts, "_pid"])  # ≤ 64 arrays in
+    l3 = merge_level(  # ≤ (tasks/1024) arrays in
+        l2.withColumn("_pb", F.pmod(F.col("_pid"), F.lit(1024))),
+        [*parts, "_pb"],
+    )
+    thresholds = (
+        merge_level(l3, parts)  # ≤ 1024 arrays in
         # k-th smallest key per stratum (or the max when the stratum has
-        # fewer than k rows — then every row is admitted, as it should be)
+        # fewer than k rows — then every row is admitted, as it should
+        # be); empty-input guard: element_at(_, 0) is an error, the
+        # global-aggregate path always emits one row even on zero rows
         .select(
             *[F.col(p).alias(f"_thr_{p}") for p in parts],
-            F.element_at("_topk", F.size("_topk")).alias("_thr"),
+            F.when(
+                F.size("_top") > 0,
+                F.element_at("_top", F.size("_top")),
+            ).alias("_thr"),
         )
     )
     if parts:

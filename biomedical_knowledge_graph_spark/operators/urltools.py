@@ -89,7 +89,11 @@ def normalize_urls(
     host = _host(url)
     path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
     path = F.when(path == "", "/").otherwise(path)
-    rawq = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # the query is only what appears BEFORE any fragment: a bare
+    # '\?(...)' would match a '?' INSIDE the fragment and leak fragment
+    # content into url_norm (review r6: 'p#sec?x=1' reported x=1 as a
+    # surviving parameter)
+    rawq = F.regexp_extract(url, r"^[^#]*\?([^#]*)", 1)
     params = F.filter(
         F.split(rawq, "&", -1),
         lambda p: (F.length(p) > 0)

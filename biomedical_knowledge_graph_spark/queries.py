@@ -2822,7 +2822,7 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unique trailer (kept) and one universal footer (removed)
 _BOILER_AUG_SPARK = None  # built inline below (needs F)
 _BOILER_AUG_SQL = (
-    "text || chr(10) || "
+    "coalesce(text, '') || chr(10) || "
     "CASE WHEN doc_id % 5 = 0 THEN 'Subscribe to our newsletter.' "
     "     WHEN doc_id % 5 = 1 THEN 'All rights reserved.' "
     "     ELSE 'trailer ' || doc_id END || chr(10) || "
@@ -2833,7 +2833,7 @@ _BOILER_AUG_SQL = (
 def _boiler_aug_col() -> Column:
     return F.concat_ws(
         "\n",
-        F.col("text"),
+        F.coalesce(F.col("text"), F.lit("")),
         F.when(
             F.col("doc_id") % 5 == 0, F.lit("Subscribe to our newsletter.")
         )
@@ -2978,7 +2978,7 @@ _URL_AUG_SQL = (
                AS host,
              regexp_extract(url,
                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS rawpath,
-             regexp_extract(url, '\\?([^#]*)', 1) AS rawq
+             regexp_extract(url, '^[^#]*\\?([^#]*)', 1) AS rawq
       FROM aug
     ), q AS (
       SELECT *,

@@ -26,8 +26,6 @@ same as streaming/events.py.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 from biomedical_knowledge_graph_spark.operators.dedup import (
@@ -44,17 +42,29 @@ _INDEX_SCHEMAS = {
 }
 
 
-def _epochs_before(path: str, epoch_id: int) -> list[str]:
+def _epochs_before(
+    spark: SparkSession, path: str, epoch_id: int
+) -> list[str]:
     """Partition dirs of strictly-earlier epochs (replay isolation: a
-    re-executed epoch must not see index rows later epochs appended)."""
-    if not os.path.isdir(path):
+    re-executed epoch must not see index rows later epochs appended).
+
+    Listed through the Hadoop FileSystem API, NOT driver-local
+    os.listdir: the index may live on any Spark-writable filesystem
+    (hdfs://, s3a://, ...) where a local listing would silently return
+    nothing and every epoch would run the empty-index branch (review
+    r6) — cross-epoch duplicates would just quietly not be found."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
         return []
     out = []
-    for d in os.listdir(path):
-        if d.startswith("epoch="):
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith("epoch="):
             try:
-                if int(d.split("=", 1)[1]) < epoch_id:
-                    out.append(os.path.join(path, d))
+                if int(name.split("=", 1)[1]) < epoch_id:
+                    out.append(st.getPath().toString())
             except ValueError:
                 continue
     return sorted(out)
@@ -70,7 +80,7 @@ def read_index_before(
     """The MinHashIndex as of (strictly before) ``epoch_id``; None when no
     prior epoch exists."""
     parts = {
-        name: _epochs_before(os.path.join(index_dir, name), epoch_id)
+        name: _epochs_before(spark, f"{index_dir}/{name}", epoch_id)
         for name in _INDEX_SCHEMAS
     }
     if not parts["bands"]:

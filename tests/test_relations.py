@@ -59,3 +59,23 @@ def test_relation_pattern_escapes_and_orders():
     # regex-escaped dot, longest alternative first
     assert r"a\.b|a" in pat
     assert pat.startswith(r"\b(")
+
+
+def test_mixed_case_dictionary(spark):
+    """A mixed-case dictionary entry must still join against the
+    lowercase matches the pattern extracts (review r6: 'TP53' silently
+    yielded zero relations)."""
+    dim = spark.createDataFrame(
+        [("TP53", "E:P53"), ("MDM2", "E:MDM2")],
+        "alias string, entity_id string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "TP53 inhibits MDM2 today")], "doc_id long, text string"
+    )
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in pattern_typed_relations(
+            docs, dim, {"inhibits": "INHIBITS"}
+        ).collect()
+    }
+    assert got == {("E:P53", "INHIBITS", "E:MDM2")}

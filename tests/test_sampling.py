@@ -426,3 +426,22 @@ def test_weighted_priority_sample_matches_window_reference(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_weighted_sample_empty_input(spark):
+    """Zero-row input returns zero rows (review r6: the unstratified
+    global aggregate emits one row with an empty top-k array, and an
+    unguarded element_at(_, 0) crashed instead)."""
+    from biomedical_knowledge_graph_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, w long")
+    assert weighted_priority_sample(empty, "doc_id", "w", 3).count() == 0
+    assert (
+        weighted_priority_sample(
+            empty.withColumn("s", F.lit("x")), "doc_id", "w", 3,
+            stratum_col="s",
+        ).count()
+        == 0
+    )

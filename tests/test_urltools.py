@@ -43,3 +43,24 @@ def test_normalize_urls_hand_checked(spark):
     # zero shuffle: the whole op is one projection
     plan = normalize_urls(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_fragment_query_not_leaked(spark):
+    """A '?' inside the fragment is NOT a query (review r6: 'p#sec?x=1'
+    leaked x=1 into url_norm as a surviving parameter)."""
+    from biomedical_knowledge_graph_spark.operators.urltools import (
+        normalize_urls,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://a.com/p#sec?x=1"),
+            (2, "http://a.com/p?x=1#sec?y=2"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r.doc_id: r for r in normalize_urls(df).collect()}
+    assert rows[1].url_norm == "http://a.com/p"
+    assert rows[1].n_query_params == 0
+    assert rows[2].url_norm == "http://a.com/p?x=1"
+    assert rows[2].n_query_params == 1
