@@ -83,6 +83,8 @@ HEADLINE = [
     "kg_typed_relations",
     # per-language corpus report card (one fused scan + one aggregate)
     "corpus_quality_report",
+    # real PPM/PGM/BMP pixel decode through the Arrow batch path
+    "multimodal_pixel_stats",
 ]
 
 

@@ -4,10 +4,13 @@ Images/audio/video ride through the engine as opaque ``binary`` columns with
 typed metadata, exactly like ``pages.html``. The Spark-side contract —
 schema, Arrow batch shape, partition sizing — is real and tested. Format
 sniffing, content hashing and PNG/JPEG/GIF header decoding (width/height
-via ``image_dimensions``) are REAL pure-Python implementations; only full
-pixel/frame decode is stubbed (`NotImplementedError` or a deterministic
-fake) because codec libraries are not in this container. Swapping in a real
-decoder changes only the body of the pandas function, not the plan.
+via ``image_dimensions``) are REAL pure-Python implementations, and so is
+FULL pixel decode for the codec-free formats (binary PPM/PGM, uncompressed
+24-bit BMP — ``decode_image_uncompressed`` / ``image_pixel_stats``); only
+decode of COMPRESSED formats (PNG/JPEG/GIF pixels, video frames) is
+stubbed (`NotImplementedError` or a deterministic fake) because codec
+libraries are not in this container. Swapping in a real codec changes only
+the body of the pandas function, not the plan.
 
 Scale notes: binary payloads dominate partition size — size partitions by
 ``spark.sql.files.maxPartitionBytes`` (bytes, not rows) and project payload
@@ -44,10 +47,12 @@ def sniff_format(payload: bytes | None) -> str:
 
 
 def decode_image(payload: bytes) -> "object":
-    """STUB: full pixel decode requires a codec library not present in
-    this container (``image_dimensions`` below parses PNG/JPEG/GIF
-    headers in pure Python — that part is real). The Spark plumbing
-    around it (binary_metadata, batching, schema) is real and tested."""
+    """STUB for COMPRESSED formats only: PNG/JPEG/GIF pixel decode
+    requires a codec library not present in this container
+    (``image_dimensions`` parses their headers in pure Python, and
+    ``decode_image_uncompressed`` fully decodes PPM/PGM/BMP — those
+    parts are real). The Spark plumbing around it (binary_metadata,
+    batching, schema) is real and tested."""
     raise NotImplementedError("image codecs unavailable in this environment")
 
 
@@ -221,5 +226,114 @@ def binary_metadata(
                     fake_thumbnail_features(p) for p in pdf[payload_col]
                 ]
             yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(extract, schema=schema)
+
+
+# --- real pixel decode for UNCOMPRESSED formats (no codec needed) ----------
+
+
+def decode_image_uncompressed(payload: bytes | None):
+    """REAL full-pixel decode for the codec-free formats: binary PPM
+    ('P6', RGB) / PGM ('P5', gray) and uncompressed 24-bit BMP. Returns
+    (format, width, height, n_channels, pixel_bytes) with pixel_bytes in
+    row-major top-down channel-interleaved order, or None for anything
+    else (compressed formats stay with the ``decode_image`` stub, which
+    now covers ONLY codec-requiring formats). Never raises on hostile
+    bytes — truncated or malformed payloads return None."""
+    if not payload:
+        return None
+    try:
+        if payload[:2] in (b"P6", b"P5"):
+            # header: magic, width, height, maxval as whitespace-separated
+            # ASCII tokens ('#' comments allowed), ONE whitespace, raw data
+            fmt = "ppm" if payload[:2] == b"P6" else "pgm"
+            channels = 3 if fmt == "ppm" else 1
+            i, tokens = 2, []
+            n = len(payload)
+            while len(tokens) < 3 and i < n:
+                c = payload[i]
+                if c in b"#":
+                    while i < n and payload[i] not in b"\r\n":
+                        i += 1
+                elif c in b" \t\r\n":
+                    i += 1
+                else:
+                    j = i
+                    while j < n and payload[j] not in b" \t\r\n#":
+                        j += 1
+                    tokens.append(payload[i:j])
+                    i = j
+            if len(tokens) < 3 or i >= n:
+                return None
+            i += 1  # the single whitespace after maxval
+            width, height, maxval = (int(t) for t in tokens)
+            if not (0 < width and 0 < height and 0 < maxval < 256):
+                return None
+            need = width * height * channels
+            if n - i < need:
+                return None
+            return (fmt, width, height, channels, payload[i : i + need])
+        if payload[:2] == b"BM" and len(payload) >= 54:
+            data_off = struct.unpack("<I", payload[10:14])[0]
+            width, height = struct.unpack("<ii", payload[18:26])
+            bpp = struct.unpack("<H", payload[28:30])[0]
+            compression = struct.unpack("<I", payload[30:34])[0]
+            if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+                return None
+            flipped = height > 0  # positive height = bottom-up rows
+            height = abs(height)
+            row_bytes = width * 3
+            stride = (row_bytes + 3) & ~3  # rows padded to 4 bytes
+            if data_off + stride * height > len(payload):
+                return None
+            rows = []
+            order = range(height - 1, -1, -1) if flipped else range(height)
+            for r in order:
+                start = data_off + r * stride
+                rows.append(payload[start : start + row_bytes])
+            return ("bmp", width, height, 3, b"".join(rows))
+        return None
+    except (ValueError, struct.error):
+        return None
+
+
+def image_pixel_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(id, format, width, height, n_channels, n_pixel_bytes,
+    sum_pixels, mean_pixel) — REAL decoded-pixel statistics for the
+    uncompressed formats, NULL stats for everything else (the stats are
+    integers until the final 6-dp mean, so an oracle that knows the
+    construction of a synthetic image can value-check the decoder
+    bit-for-bit). Same plan shape as binary_metadata: prune to
+    (id, payload), one Arrow pass, payload dropped on output."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_type}, format string, width int, height int, "
+        "n_channels int, n_pixel_bytes long, sum_pixels long, "
+        "mean_pixel double"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col].values, pdf[payload_col]):
+                dec = decode_image_uncompressed(p)
+                if dec is None:
+                    rows.append((doc_id, sniff_format(p), None, None,
+                                 None, None, None, None))
+                    continue
+                fmt, w, h, ch, px = dec
+                total = sum(px)
+                rows.append(
+                    (doc_id, fmt, w, h, ch, len(px), total,
+                     round(total / len(px), 6) if px else None)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "format", "width", "height", "n_channels",
+                         "n_pixel_bytes", "sum_pixels", "mean_pixel"],
+            )
 
     return df.select(id_col, payload_col).mapInPandas(extract, schema=schema)

@@ -3108,6 +3108,66 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         index.unpersist()
 
 
+@register(
+    "multimodal_pixel_stats",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             2 + doc_id % 3 AS w, 2 + doc_id % 2 AS h,
+             doc_id % 5 = 0 AS junk
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN junk THEN 'unknown' ELSE 'ppm' END AS format,
+           CASE WHEN junk THEN NULL ELSE CAST(w AS INT) END AS width,
+           CASE WHEN junk THEN NULL ELSE CAST(h AS INT) END AS height,
+           CASE WHEN junk THEN NULL ELSE 3 END AS n_channels,
+           CASE WHEN junk THEN NULL
+                ELSE CAST(w * h * 3 AS BIGINT) END AS n_pixel_bytes,
+           CASE WHEN junk THEN NULL
+                ELSE CAST((SELECT sum((doc_id * 7 + i * 13) % 95 + 32)
+                           FROM unnest(range(0, w * h * 3)) AS r(i))
+                     AS BIGINT) END AS sum_pixels,
+           CASE WHEN junk THEN NULL
+                ELSE round((SELECT sum((doc_id * 7 + i * 13) % 95 + 32)
+                            FROM unnest(range(0, w * h * 3)) AS r(i))
+                           * 1.0 / (w * h * 3), 6) END AS mean_pixel
+    FROM base
+    """,
+    "multimodal, REAL full-pixel decode path — binary-PPM images "
+    "synthesized per doc (header + raw pixel bytes built from a closed "
+    "form) are DECODED by operators/multimodal.py:"
+    "decode_image_uncompressed inside image_pixel_stats (mapInPandas, "
+    "one Arrow pass), and the oracle value-checks the decoder against "
+    "the construction's closed-form width/height/byte-sum — integer "
+    "stats until the final 6-dp mean. Every 5th doc carries junk bytes "
+    "to pin the NULL path; compressed formats remain the documented "
+    "codec stub",
+)
+def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_knowledge_graph_spark.operators.multimodal import (
+        image_pixel_stats,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("2 + doc_id % 3").alias("_w"),
+        F.expr("2 + doc_id % 2").alias("_h"),
+    )
+    payload = F.when(
+        F.expr("doc_id % 5 = 0"), F.lit("junkbytes").cast("binary")
+    ).otherwise(
+        F.expr(
+            "cast(concat('P6', chr(10), _w, ' ', _h, chr(10), '126', "
+            "chr(10), array_join(transform(sequence(0, _w * _h * 3 - 1), "
+            "i -> chr((doc_id * 7 + i * 13) % 95 + 32)), '')) as binary)"
+        )
+    )
+    return image_pixel_stats(
+        docs.select("doc_id", payload.alias("payload"))
+    )
+
+
 def _corpus_report_oracle() -> str:
     from biomedical_knowledge_graph_spark.operators.textstats import (
         PII_PATTERNS,
@@ -3564,6 +3624,7 @@ DEFERRED_PAST_DRIVER_CAP = (
     "doc_remove_repeated_windows",
     "kg_typed_relations",
     "corpus_quality_report",
+    "multimodal_pixel_stats",
 )
 for _deferred in DEFERRED_PAST_DRIVER_CAP:
     REGISTRY[_deferred] = REGISTRY.pop(_deferred)

@@ -91,6 +91,7 @@ def test_registry_ordering_contract():
             "doc_remove_repeated_windows",
             "kg_typed_relations",
             "corpus_quality_report",
+            "multimodal_pixel_stats",
         )
 
 

@@ -443,3 +443,52 @@ def test_corpus_report(spark):
     # totals are token sums, quality averaged within the language
     assert en.total_tokens == 10 + 10 + 10
     assert 0.0 <= en.avg_quality <= 1.0
+
+
+def test_decode_image_uncompressed():
+    import struct as _struct
+
+    d = multimodal.decode_image_uncompressed
+    # P6 with comment + CRLF whitespace
+    ppm = b"P6 # cmt\n2 1\n255\n" + bytes([1, 2, 3, 4, 5, 6])
+    assert d(ppm) == ("ppm", 2, 1, 3, bytes([1, 2, 3, 4, 5, 6]))
+    # P5 grayscale
+    assert d(b"P5\n3 1\n255\n" + bytes([9, 8, 7])) == (
+        "pgm", 3, 1, 1, bytes([9, 8, 7])
+    )
+    # truncated payloads and malformed headers return None, never raise
+    assert d(b"P6\n2 1\n255\n" + bytes([1, 2])) is None
+    assert d(b"P6\n0 1\n255\nxxx") is None
+    assert d(b"P6\n2 1\n70000\n" + bytes(6)) is None
+    assert d(b"") is None and d(None) is None
+    assert d(b"\x89PNG\r\n\x1a\n" + bytes(40)) is None  # compressed: stub
+    # 24-bit bottom-up BMP with row padding: decoder returns top-down rows
+    row0, row1 = bytes([1, 2, 3, 4, 5, 6]), bytes([7, 8, 9, 10, 11, 12])
+    data = row1 + b"\x00\x00" + row0 + b"\x00\x00"
+    hdr = (
+        b"BM"
+        + _struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + _struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(data),
+                       0, 0, 0, 0)
+    )
+    fmt, w, h, ch, px = d(hdr + data)
+    assert (fmt, w, h, ch) == ("bmp", 2, 2, 3)
+    assert px == row0 + row1
+    # compressed BMP (BI_RLE8) rejected
+    bad = bytearray(hdr + data)
+    bad[30] = 1
+    assert d(bytes(bad)) is None
+
+
+def test_image_pixel_stats(spark):
+    ppm = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(b"junk")), (3, None)],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in multimodal.image_pixel_stats(df).collect()}
+    assert rows[1].format == "ppm" and rows[1].width == 2
+    assert rows[1].sum_pixels == 210
+    assert rows[1].mean_pixel == 35.0
+    assert rows[2].format == "unknown" and rows[2].sum_pixels is None
+    assert rows[3].format == "empty" and rows[3].width is None
