@@ -243,10 +243,17 @@ def weighted_priority_sample(
         .agg(F.slice(F.sort_array(F.collect_list("_key")), 1, k).alias("_top"))
     )
     l2 = merge_level(l1, [*parts, "_pid"])  # ≤ 64 arrays in
-    l3 = merge_level(  # ≤ (tasks/1024) arrays in
-        l2.withColumn("_pb", F.pmod(F.col("_pid"), F.lit(1024))),
-        [*parts, "_pb"],
-    )
+    # the partition-bucket level only bounds anything once the job has
+    # more tasks than buckets — below that it is pure added latency
+    # (measured ~0.25 s of extra stages at bench scale), so the tree
+    # deepens adaptively with the actual input parallelism
+    if df.rdd.getNumPartitions() > 1024:
+        l3 = merge_level(  # ≤ (tasks/1024) arrays in
+            l2.withColumn("_pb", F.pmod(F.col("_pid"), F.lit(1024))),
+            [*parts, "_pb"],
+        )
+    else:
+        l3 = l2
     thresholds = (
         merge_level(l3, parts)  # ≤ 1024 arrays in
         # k-th smallest key per stratum (or the max when the stratum has
