@@ -85,6 +85,8 @@ HEADLINE = [
     "corpus_quality_report",
     # real PPM/PGM/BMP pixel decode through the Arrow batch path
     "multimodal_pixel_stats",
+    # real PCM WAV decode through the Arrow batch path
+    "multimodal_audio_stats",
 ]
 
 

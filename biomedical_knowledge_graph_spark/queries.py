@@ -3168,6 +3168,61 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_audio_stats",
+    """
+    WITH base AS (
+      SELECT doc_id, 4 + doc_id % 4 AS n, doc_id % 7 = 0 AS junk
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN junk THEN 'riff' ELSE 'wav' END AS format,
+           CASE WHEN junk THEN NULL ELSE 8000 END AS sample_rate,
+           CASE WHEN junk THEN NULL ELSE 1 END AS n_channels,
+           CASE WHEN junk THEN NULL ELSE 8 END AS bits,
+           CASE WHEN junk THEN NULL ELSE CAST(n AS BIGINT) END AS n_samples,
+           CASE WHEN junk THEN NULL
+                ELSE CAST((SELECT sum((doc_id * 11 + i * 17) % 256)
+                           FROM unnest(range(0, n)) AS r(i))
+                     AS BIGINT) END AS sum_samples,
+           CASE WHEN junk THEN NULL
+                ELSE round((SELECT sum((doc_id * 11 + i * 17) % 256)
+                            FROM unnest(range(0, n)) AS r(i)) * 1.0 / n,
+                           6) END AS mean_sample
+    FROM base
+    """,
+    "multimodal, REAL audio decode path — 8-bit mono PCM WAV payloads "
+    "assembled byte-exactly in Spark (RIFF/fmt/data chunks via "
+    "unhex of an arithmetic hex string) are DECODED by "
+    "operators/multimodal.py:decode_audio_wav inside audio_stats "
+    "(chunk walk, PCM validation, one Arrow pass); the oracle "
+    "value-checks the decoder against the construction's closed-form "
+    "sample sum. Every 7th doc carries a truncated RIFF to pin the "
+    "NULL path",
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_knowledge_graph_spark.operators.multimodal import (
+        audio_stats,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("4 + doc_id % 4").alias("_n")
+    )
+    # RIFF(LE sizes) + WAVE + fmt(PCM, mono, 8 kHz, 8-bit) + data + samples
+    wav_hex = F.expr(
+        "concat('52494646', lpad(hex(36 + _n), 2, '0'), '000000', "
+        "'57415645', '666d7420', '10000000', "
+        "'0100', '0100', '401f0000', '401f0000', '0100', '0800', "
+        "'64617461', lpad(hex(_n), 2, '0'), '000000', "
+        "array_join(transform(sequence(0, _n - 1), "
+        "i -> lpad(hex((doc_id * 11 + i * 17) % 256), 2, '0')), ''))"
+    )
+    payload = F.when(
+        F.expr("doc_id % 7 = 0"), F.lit(b"RIFFjunk")
+    ).otherwise(F.unhex(wav_hex))
+    return audio_stats(docs.select("doc_id", payload.alias("payload")))
+
+
 def _corpus_report_oracle() -> str:
     from biomedical_knowledge_graph_spark.operators.textstats import (
         PII_PATTERNS,
@@ -3625,6 +3680,7 @@ DEFERRED_PAST_DRIVER_CAP = (
     "kg_typed_relations",
     "corpus_quality_report",
     "multimodal_pixel_stats",
+    "multimodal_audio_stats",
 )
 for _deferred in DEFERRED_PAST_DRIVER_CAP:
     REGISTRY[_deferred] = REGISTRY.pop(_deferred)

@@ -92,6 +92,7 @@ def test_registry_ordering_contract():
             "kg_typed_relations",
             "corpus_quality_report",
             "multimodal_pixel_stats",
+            "multimodal_audio_stats",
         )
 
 

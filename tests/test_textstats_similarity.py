@@ -492,3 +492,48 @@ def test_image_pixel_stats(spark):
     assert rows[1].mean_pixel == 35.0
     assert rows[2].format == "unknown" and rows[2].sum_pixels is None
     assert rows[3].format == "empty" and rows[3].width is None
+
+
+def test_decode_audio_wav():
+    import struct as _s
+
+    d = multimodal.decode_audio_wav
+    fmt16 = _s.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+    pcm = _s.pack("<hhh", -5, 0, 7)
+    wav = (
+        b"RIFF" + _s.pack("<I", 4 + 8 + 16 + 8 + len(pcm)) + b"WAVE"
+        + b"fmt " + _s.pack("<I", 16) + fmt16
+        + b"data" + _s.pack("<I", len(pcm)) + pcm
+    )
+    assert d(wav) == (44100, 2, 16, pcm)
+    # an extra chunk before data (e.g. LIST) is walked over, odd sizes pad
+    listc = b"LIST" + _s.pack("<I", 3) + b"abc" + b"\x00"
+    wav2 = wav[:20 + 16] + listc + wav[20 + 16:]
+    assert d(wav2) == (44100, 2, 16, pcm)
+    # rejects: non-PCM format tag, truncated chunks, non-RIFF
+    badfmt = _s.pack("<HHIIHH", 85, 2, 44100, 0, 4, 16)  # MP3-in-WAV
+    bad = wav.replace(fmt16, badfmt)
+    assert d(bad) is None
+    assert d(b"RIFF\x10\x00\x00\x00WAVEfmt ") is None
+    assert d(b"OggS") is None and d(None) is None
+
+
+def test_audio_stats(spark):
+    import struct as _s
+
+    data = bytes([100, 110, 120])
+    fmt = _s.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    wav = (
+        b"RIFF" + _s.pack("<I", 4 + 8 + 16 + 8 + len(data)) + b"WAVE"
+        + b"fmt " + _s.pack("<I", 16) + fmt
+        + b"data" + _s.pack("<I", len(data)) + data
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"RIFFjunk"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in multimodal.audio_stats(df).collect()}
+    assert rows[1].format == "wav" and rows[1].sample_rate == 8000
+    assert rows[1].n_samples == 3 and rows[1].sum_samples == 330
+    assert rows[1].mean_sample == 110.0
+    assert rows[2].format == "riff" and rows[2].n_samples is None
