@@ -87,6 +87,8 @@ HEADLINE = [
     "multimodal_pixel_stats",
     # real PCM WAV decode through the Arrow batch path
     "multimodal_audio_stats",
+    # unicode NFC + control/space normalization (one Arrow pass)
+    "doc_normalize_text",
 ]
 
 

@@ -429,3 +429,53 @@ def corpus_report(
         F.sum("_nt").cast("long").alias("total_tokens"),
         F.round(F.avg("_q"), 6).alias("avg_quality"),
     )
+
+
+def normalize_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unicode text normalization — the first preprocessing pass of
+    every multilingual webtext pipeline: NFC composition (so 'e'+U+0301
+    and the precomposed 'é' stop being distinct dedup/link keys),
+    control-character strip (C0 minus tab/newline, plus DEL) and
+    space-run collapse, in that order. Output: (id, text_norm,
+    n_chars_before, n_chars_after, changed).
+
+    NFC needs a real Unicode database, which Spark SQL does not expose —
+    this is the documented Arrow escape hatch: one mapInPandas pass
+    (Python's unicodedata), all three steps fused so the corpus crosses
+    Python once. The DuckDB oracle runs utf8proc's nfc_normalize + the
+    identical regex chain — two INDEPENDENT Unicode implementations
+    agreeing on the value check."""
+    import re as _re
+    import unicodedata as _ud
+    from collections.abc import Iterator  # noqa: F401
+
+    import pandas as pd
+
+    ctrl = _re.compile("[\x00-\x08\x0b-\x1f\x7f]")
+    spaces = _re.compile(" +")
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_type}, text_norm string, n_chars_before long, "
+        "n_chars_after long, changed boolean"
+    )
+
+    def norm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf[id_col].values, pdf[text_col]):
+                raw = t if t is not None else ""
+                out = spaces.sub(
+                    " ", ctrl.sub("", _ud.normalize("NFC", raw))
+                )
+                rows.append(
+                    (doc_id, out, len(raw), len(out), out != raw)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "text_norm", "n_chars_before",
+                         "n_chars_after", "changed"],
+            )
+
+    return df.select(id_col, text_col).mapInPandas(norm, schema=schema)

@@ -3169,6 +3169,58 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_normalize_text",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' caf' || decode(from_hex('65cc81')) || chr(7)
+                  || '  x' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(nfc_normalize(t),
+                            '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'),
+             ' +', ' ', 'g') AS text_norm,
+           CAST(len(t) AS BIGINT) AS n_chars_before,
+           CAST(len(regexp_replace(
+             regexp_replace(nfc_normalize(t),
+                            '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'),
+             ' +', ' ', 'g')) AS BIGINT) AS n_chars_after,
+           regexp_replace(
+             regexp_replace(nfc_normalize(t),
+                            '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'),
+             ' +', ' ', 'g') <> t AS changed
+    FROM aug
+    """,
+    "beyond-reference webtext op — Unicode text normalization "
+    "(operators/textstats.py:normalize_text): NFC composition + "
+    "C0-control strip + space-run collapse in ONE Arrow pass (the "
+    "documented Python escape hatch: Spark SQL has no Unicode "
+    "database). The query injects a decomposed e+U+0301, a BEL and a "
+    "double space into every doc; the oracle runs utf8proc's "
+    "nfc_normalize + the identical regex chain — two independent "
+    "Unicode implementations value-checking each other",
+)
+def doc_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_knowledge_graph_spark.operators.textstats import (
+        normalize_text,
+    )
+
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" caf"),
+        F.decode(F.unhex(F.lit("65cc81")), "utf-8"),
+        F.expr("char(7)"),
+        F.lit("  x"),
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", aug.alias("text")
+    )
+    return normalize_text(docs)
+
+
+@register(
     "multimodal_audio_stats",
     """
     WITH base AS (
@@ -3681,6 +3733,7 @@ DEFERRED_PAST_DRIVER_CAP = (
     "corpus_quality_report",
     "multimodal_pixel_stats",
     "multimodal_audio_stats",
+    "doc_normalize_text",
 )
 for _deferred in DEFERRED_PAST_DRIVER_CAP:
     REGISTRY[_deferred] = REGISTRY.pop(_deferred)

@@ -93,6 +93,7 @@ def test_registry_ordering_contract():
             "corpus_quality_report",
             "multimodal_pixel_stats",
             "multimodal_audio_stats",
+            "doc_normalize_text",
         )
 
 

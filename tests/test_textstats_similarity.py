@@ -537,3 +537,24 @@ def test_audio_stats(spark):
     assert rows[1].n_samples == 3 and rows[1].sum_samples == 330
     assert rows[1].mean_sample == 110.0
     assert rows[2].format == "riff" and rows[2].n_samples is None
+
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "café and  double   spaces"),
+            (2, "bell\x07strip\ttab kept\nline kept"),
+            (3, "é already composed"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textstats.normalize_text(df).collect()}
+    assert rows[1].text_norm == "café and double spaces"
+    assert rows[1].changed is True
+    assert rows[2].text_norm == "bellstrip\ttab kept\nline kept"
+    assert rows[3].text_norm == "é already composed"
+    assert rows[3].changed is False
+    assert rows[4].text_norm == "" and rows[4].n_chars_before == 0
+    # char counts reflect the composition: NFC shrinks e+combining to é
+    assert rows[1].n_chars_before - rows[1].n_chars_after == 1 + 3

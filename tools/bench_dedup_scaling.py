@@ -118,6 +118,10 @@ def timed_run(
             "spark.sql.files.openCostInBytes": str(16 * 1024),
         },
     )
+    from biomedical_knowledge_graph_spark.operators.boilerplate import (
+        remove_repeated_windows,
+    )
+
     ops = {
         "minhash": (
             minhash_path,
@@ -126,6 +130,14 @@ def timed_run(
         "simhash": (
             simhash_path,
             lambda df: dedup.simhash_near_pairs(df, max_hamming=6),
+        ),
+        # exact-substring window dedup shares the simhash corpus (its
+        # per-doc cost sits between the two); forced by .count() over the
+        # reassembled output like the others — the injected duplicate
+        # docs guarantee real repeated windows corpus-wide
+        "windows": (
+            simhash_path,
+            lambda df: remove_repeated_windows(df, w=8, min_count=2),
         ),
     }
     out: dict = {}
@@ -227,7 +239,7 @@ def main() -> None:
             "cpu_ceiling_speedup": round(ceiling, 2),
             "queries": {},
         }
-        for op in ("minhash", "simhash"):
+        for op in ("minhash", "simhash", "windows"):
             for t in (low, high):
                 pairs = {r[f"{op}_pairs"] for r in runs[t]}
                 assert len(pairs) == 1, (op, t, pairs)
