@@ -132,14 +132,21 @@ def timed_run(
             lambda df: dedup.simhash_near_pairs(df, max_hamming=6),
         ),
         # exact-substring window dedup shares the simhash corpus (its
-        # per-doc cost sits between the two); forced by .count() over the
-        # reassembled output like the others — the injected duplicate
-        # docs guarantee real repeated windows corpus-wide
+        # per-doc cost sits between the two). The op ends in LEFT joins
+        # against a distinct-id frame, which count() ELIMINATES (the
+        # module-docstring trap measured live: 0.94 s "wall" for 1 M
+        # docs was the distinct count alone) — the filter references a
+        # join-output column so the whole pipeline must execute
         "windows": (
             simhash_path,
-            lambda df: remove_repeated_windows(df, w=8, min_count=2),
+            lambda df: remove_repeated_windows(df, w=8, min_count=2)
+            .filter(F.col("n_removed_tokens") >= 0),
         ),
     }
+    wanted = os.environ.get("BKG_SCALING_OPS")
+    if wanted:
+        keep = {w.strip() for w in wanted.split(",")}
+        ops = {k: v for k, v in ops.items() if k in keep}
     out: dict = {}
     for name, (path, fn) in ops.items():
         # split the scan so the EXPENSIVE map stage (125 hash exprs per
@@ -240,6 +247,8 @@ def main() -> None:
             "queries": {},
         }
         for op in ("minhash", "simhash", "windows"):
+            if f"{op}_pairs" not in runs[low][0]:
+                continue
             for t in (low, high):
                 pairs = {r[f"{op}_pairs"] for r in runs[t]}
                 assert len(pairs) == 1, (op, t, pairs)
