@@ -89,6 +89,8 @@ HEADLINE = [
     "multimodal_audio_stats",
     # unicode NFC + control/space normalization (one Arrow pass)
     "doc_normalize_text",
+    # AVI/MP4 container-header metadata parse
+    "multimodal_video_meta",
 ]
 
 

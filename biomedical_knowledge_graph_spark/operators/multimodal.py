@@ -419,3 +419,96 @@ def audio_stats(
             )
 
     return df.select(id_col, payload_col).mapInPandas(extract, schema=schema)
+
+
+def video_metadata_headers(payload: bytes | None):
+    """REAL container-header parse for the two dominant video containers
+    (no codec needed — this is metadata, not frames): AVI (RIFF 'AVI '
+    → LIST/hdrl → avih: frame counts and dimensions) and MP4 (ISO BMFF
+    box walk → moov/trak/tkhd: dimensions as 16.16 fixed point).
+    Returns (container, width, height, n_frames | None) or None; frame
+    DECODE stays with the codec stub. Never raises on hostile bytes."""
+    if not payload or len(payload) < 12:
+        return None
+    try:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            i, n = 12, len(payload)
+            while i + 8 <= n:
+                cid = payload[i : i + 4]
+                size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+                if cid == b"LIST" and payload[i + 8 : i + 12] == b"hdrl":
+                    j = i + 12
+                    end = min(i + 8 + size, n)
+                    while j + 8 <= end:
+                        sid = payload[j : j + 4]
+                        ssz = struct.unpack("<I", payload[j + 4 : j + 8])[0]
+                        if sid == b"avih" and ssz >= 40:
+                            body = payload[j + 8 : j + 8 + ssz]
+                            if len(body) < 40:
+                                return None
+                            frames = struct.unpack("<I", body[16:20])[0]
+                            w, h = struct.unpack("<II", body[32:40])
+                            return ("avi", w, h, frames)
+                        j += 8 + ssz + (ssz & 1)
+                    return None
+                i += 8 + size + (size & 1)
+            return None
+        # ISO BMFF: [size u32 BE][type]; ftyp present near the start
+        if payload[4:8] in (b"ftyp", b"moov"):
+            def walk(lo: int, hi: int):
+                i = lo
+                while i + 8 <= hi:
+                    size = struct.unpack(">I", payload[i : i + 4])[0]
+                    btype = payload[i + 4 : i + 8]
+                    if size < 8 or i + size > hi:
+                        return None
+                    if btype in (b"moov", b"trak"):
+                        found = walk(i + 8, i + size)
+                        if found:
+                            return found
+                    elif btype == b"tkhd" and size >= 92:
+                        ver = payload[i + 8]
+                        off = i + 8 + 4 + (32 if ver == 1 else 20)
+                        off += 8 + 2 + 2 + 2 + 2 + 36
+                        if off + 8 > i + size:
+                            return None
+                        w16, h16 = struct.unpack(
+                            ">II", payload[off : off + 8]
+                        )
+                        return ("mp4", w16 >> 16, h16 >> 16, None)
+                    i += size
+                return None
+
+            return walk(0, len(payload))
+        return None
+    except (ValueError, struct.error):
+        return None
+
+
+def video_metadata(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(id, container, width, height, n_frames) — parsed AVI/MP4 header
+    metadata through the standard pruned one-Arrow-pass plan; NULLs for
+    non-video payloads."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_type}, container string, width int, height int, "
+        "n_frames long"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col].values, pdf[payload_col]):
+                meta = video_metadata_headers(p)
+                if meta is None:
+                    rows.append((doc_id, sniff_format(p), None, None, None))
+                else:
+                    rows.append((doc_id, *meta))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "container", "width", "height", "n_frames"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(extract, schema=schema)

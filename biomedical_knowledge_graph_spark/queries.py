@@ -3169,6 +3169,60 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_video_meta",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             64 + doc_id % 16 AS w, 36 + doc_id % 8 AS h,
+             10 + doc_id % 50 AS nf, doc_id % 6 = 0 AS junk
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN junk THEN 'unknown' ELSE 'avi' END AS container,
+           CASE WHEN junk THEN NULL ELSE CAST(w AS INT) END AS width,
+           CASE WHEN junk THEN NULL ELSE CAST(h AS INT) END AS height,
+           CASE WHEN junk THEN NULL ELSE CAST(nf AS BIGINT) END AS n_frames
+    FROM base
+    """,
+    "multimodal, REAL video container metadata — AVI payloads assembled "
+    "byte-exactly in Spark (RIFF/LIST-hdrl/avih via unhex) are parsed "
+    "by operators/multimodal.py:video_metadata_headers (chunk walk; the "
+    "same function also walks ISO-BMFF moov/trak/tkhd for MP4, "
+    "unit-tested); oracle = the construction's closed form. Frame "
+    "DECODE remains the codec stub; every 6th doc carries junk bytes "
+    "for the NULL path",
+)
+def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_knowledge_graph_spark.operators.multimodal import (
+        video_metadata,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("64 + doc_id % 16").alias("_w"),
+        F.expr("36 + doc_id % 8").alias("_h"),
+        F.expr("10 + doc_id % 50").alias("_nf"),
+    )
+    # RIFF(80)'AVI ' LIST(68)'hdrl' avih(56): usec/frame 33333, frames,
+    # 1 stream, width, height, 16 reserved bytes — all LE
+    avi_hex = F.expr(
+        "concat('52494646', '50000000', '41564920', "
+        "'4c495354', '44000000', '6864726c', "
+        "'61766968', '38000000', "
+        "'35820000', '00000000', '00000000', '00000000', "
+        "lpad(hex(_nf), 2, '0'), '000000', "
+        "'00000000', '01000000', '00000000', "
+        "lpad(hex(_w), 2, '0'), '000000', "
+        "lpad(hex(_h), 2, '0'), '000000', "
+        "repeat('00', 16))"
+    )
+    payload = F.when(
+        F.expr("doc_id % 6 = 0"), F.lit(b"junkjunkjunk")
+    ).otherwise(F.unhex(avi_hex))
+    return video_metadata(docs.select("doc_id", payload.alias("payload")))
+
+
+@register(
     "doc_normalize_text",
     r"""
     WITH aug AS (
@@ -3734,6 +3788,7 @@ DEFERRED_PAST_DRIVER_CAP = (
     "multimodal_pixel_stats",
     "multimodal_audio_stats",
     "doc_normalize_text",
+    "multimodal_video_meta",
 )
 for _deferred in DEFERRED_PAST_DRIVER_CAP:
     REGISTRY[_deferred] = REGISTRY.pop(_deferred)

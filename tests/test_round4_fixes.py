@@ -94,6 +94,7 @@ def test_registry_ordering_contract():
             "multimodal_pixel_stats",
             "multimodal_audio_stats",
             "doc_normalize_text",
+            "multimodal_video_meta",
         )
 
 

@@ -558,3 +558,47 @@ def test_normalize_text(spark):
     assert rows[4].text_norm == "" and rows[4].n_chars_before == 0
     # char counts reflect the composition: NFC shrinks e+combining to é
     assert rows[1].n_chars_before - rows[1].n_chars_after == 1 + 3
+
+
+def test_video_metadata_headers():
+    import struct as _s
+
+    v = multimodal.video_metadata_headers
+    avih = _s.pack("<10I", 33333, 0, 0, 0, 240, 0, 1, 0, 320, 180) + bytes(16)
+    hdrl = b"hdrl" + b"avih" + _s.pack("<I", len(avih)) + avih
+    avi = (
+        b"RIFF" + _s.pack("<I", 4 + 8 + len(hdrl)) + b"AVI "
+        + b"LIST" + _s.pack("<I", len(hdrl)) + hdrl
+    )
+    assert v(avi) == ("avi", 320, 180, 240)
+    # MP4 v0 tkhd inside moov/trak, after an ftyp box
+    tkhd_body = bytes(4) + bytes(20) + bytes(16) + bytes(36) \
+        + _s.pack(">II", 640 << 16, 360 << 16)
+    tkhd = _s.pack(">I", 8 + len(tkhd_body)) + b"tkhd" + tkhd_body
+    trak = _s.pack(">I", 8 + len(tkhd)) + b"trak" + tkhd
+    moov = _s.pack(">I", 8 + len(trak)) + b"moov" + trak
+    ftyp = _s.pack(">I", 16) + b"ftyp" + b"isom" + bytes(4)
+    assert v(ftyp + moov) == ("mp4", 640, 360, None)
+    # rejects: WAV RIFF, truncated avih, zero-size box loops, junk
+    assert v(b"RIFFxxxxWAVE") is None
+    assert v(avi[:30]) is None
+    assert v(_s.pack(">I", 0) + b"ftyp" + bytes(8)) is None
+    assert v(b"junkjunkjunk") is None and v(None) is None
+
+
+def test_video_metadata_frame(spark):
+    import struct as _s
+
+    avih = _s.pack("<10I", 33333, 0, 0, 0, 5, 0, 1, 0, 64, 36) + bytes(16)
+    hdrl = b"hdrl" + b"avih" + _s.pack("<I", len(avih)) + avih
+    avi = (
+        b"RIFF" + _s.pack("<I", 4 + 8 + len(hdrl)) + b"AVI "
+        + b"LIST" + _s.pack("<I", len(hdrl)) + hdrl
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(b"nope"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in multimodal.video_metadata(df).collect()}
+    assert rows[1].container == "avi" and rows[1].n_frames == 5
+    assert rows[2].container == "unknown" and rows[2].width is None
