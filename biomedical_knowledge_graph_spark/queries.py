@@ -3778,17 +3778,37 @@ DEFERRED_PAST_DRIVER_CAP = (
     "doc_c4_line_filter",
     "doc_url_normalize",
     "doc_quality_classifier",
-    "dedup_minhash_incremental",
-    "dedup_minhash_stream",
-    "doc_lm_perplexity",
-    "kg_triangles",
     "doc_remove_repeated_windows",
-    "kg_typed_relations",
-    "corpus_quality_report",
-    "multimodal_pixel_stats",
     "multimodal_audio_stats",
     "doc_normalize_text",
     "multimodal_video_meta",
+    # round-7 rotation (VERDICT r6 item 3): the seven round-6 HEADLINE
+    # operators (incremental + streaming MinHash dedup, triangle
+    # counting, bigram-LM perplexity, typed relation extraction,
+    # per-language corpus report, real pixel decode) moved INSIDE the
+    # driver-checked window so CORRECTNESS_r07 value-checks them. The
+    # seven slots they take come from §2-REDUNDANT variants, each
+    # already evidenced by another checked row and still pytest-oracled
+    # here:
+    #   - obo_synonym_scopes: S1/F8 also pinned by obo_relationship_edges
+    #     + obo_typed_triples (both checked);
+    #   - ann_lsh_multiprobe_topk: multi-probe variant of the checked
+    #     ann_lsh_topk (same bucketing path);
+    #   - multimodal_frame_sample: deterministic-fake frame decode;
+    #     multimodal_pixel_stats is the REAL decode and takes its slot;
+    #   - doc_fingerprint / doc_token_counts: single-projection text
+    #     stats; the same expression family is pinned by doc_quality and
+    #     doc_lang_id (both checked);
+    #   - latest_event_per_user (W2) / region_rollup (A5): window-dedup
+    #     and rollup shapes also pinned by customer_upsert_merge and
+    #     segment_priority_sets (both checked).
+    "obo_synonym_scopes",
+    "ann_lsh_multiprobe_topk",
+    "multimodal_frame_sample",
+    "doc_fingerprint",
+    "doc_token_counts",
+    "latest_event_per_user",
+    "region_rollup",
 )
 for _deferred in DEFERRED_PAST_DRIVER_CAP:
     REGISTRY[_deferred] = REGISTRY.pop(_deferred)
