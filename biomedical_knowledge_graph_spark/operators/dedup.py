@@ -152,7 +152,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
-    num_hashes: int = 128,
+    num_hashes: int = 125,
     seed: int = 7,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
@@ -196,7 +196,7 @@ def minhash_signatures_jvm(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
-    num_hashes: int = 128,
+    num_hashes: int = 125,
     seed: int = 7,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
@@ -238,7 +238,7 @@ def minhash_signatures_oph(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
-    num_hashes: int = 128,
+    num_hashes: int = 125,
     seed: int = 7,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
@@ -323,8 +323,20 @@ def banded_memberships(
     silently hashes truncated bands (far more false candidates) instead
     of erroring. Defaults match the family's 125-hash 25×5 geometry
     (review r6: the old 32×4 default truncated band 31 to one element
-    when applied to standard 125-hash signatures)."""
-    return signatures.select(
+    when applied to standard 125-hash signatures). A per-row guard
+    (ADVICE r6 item 1) raises on any length mismatch — one O(1)
+    ``size()`` comparison per row, never a silent truncated hash."""
+    n_req = bands * rows_per_band
+    guarded = signatures.withColumn(
+        "signature",
+        F.expr(
+            f"CASE WHEN size(signature) = {n_req} THEN signature "
+            f"ELSE raise_error(concat('banded_memberships: signature "
+            f"length ', cast(size(signature) AS string), ' != bands*"
+            f"rows_per_band = {n_req}')) END"
+        ),
+    )
+    return guarded.select(
         id_col,
         F.explode(
             F.expr(

@@ -470,12 +470,16 @@ def video_metadata_headers(payload: bytes | None):
                         ver = payload[i + 8]
                         off = i + 8 + 4 + (32 if ver == 1 else 20)
                         off += 8 + 2 + 2 + 2 + 2 + 36
-                        if off + 8 > i + size:
-                            return None
-                        w16, h16 = struct.unpack(
-                            ">II", payload[off : off + 8]
-                        )
-                        return ("mp4", w16 >> 16, h16 >> 16, None)
+                        if off + 8 <= i + size:
+                            w16, h16 = struct.unpack(
+                                ">II", payload[off : off + 8]
+                            )
+                            if (w16 >> 16) and (h16 >> 16):
+                                return ("mp4", w16 >> 16, h16 >> 16, None)
+                        # truncated/odd tkhd (e.g. version-1 box shorter
+                        # than its fixed layout) or a 0x0 track (audio):
+                        # keep scanning sibling boxes so a later video
+                        # trak still wins (ADVICE r6 item 4)
                     i += size
                 return None
 

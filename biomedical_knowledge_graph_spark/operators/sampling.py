@@ -237,8 +237,11 @@ def weighted_priority_sample(
         base.select(*parts, key.alias("_key"))
         .withColumn("_pid", F.spark_partition_id())
         # hash-chunk the level-1 groups: bounds every collect_list
-        # buffer at ~rows/64 per task instead of the whole partition
-        .withColumn("_chunk", F.pmod(F.col("_key.p"), F.lit(64)))
+        # buffer at ~rows/64 per task instead of the whole partition.
+        # Chunk on a hash of the UNIQUE id, not the priority: duplicated
+        # priorities (e.g. weights so large _prio collapses to 0) would
+        # put an entire partition back into one chunk (ADVICE r6 item 3)
+        .withColumn("_chunk", F.pmod(F.xxhash64(F.col("_key.i")), F.lit(64)))
         .groupBy(*parts, "_pid", "_chunk")
         .agg(F.slice(F.sort_array(F.collect_list("_key")), 1, k).alias("_top"))
     )

@@ -417,7 +417,13 @@ def corpus_report(
         quality_score_col(text_col).alias("_q"),
         (qc_logit_col(text_col) >= 0).alias("_keep"),
         any_pii.alias("_pii"),
-        F.md5(F.col(text_col).cast("binary")).alias("_h"),
+        # coalesce: NULL text hashes to NULL, which countDistinct skips —
+        # every NULL-text doc (including the first) would count as a dup;
+        # folding NULL into the empty-text group keeps 'docs beyond the
+        # first of each group' semantics (ADVICE r6 item 5)
+        F.md5(F.coalesce(F.col(text_col), F.lit("")).cast("binary")).alias(
+            "_h"
+        ),
     )
     return per_doc.groupBy("lang").agg(
         F.count("*").cast("long").alias("n_docs"),

@@ -3368,7 +3368,7 @@ def _corpus_report_oracle() -> str:
           list_filter(string_split(lower(coalesce(text, '')), ' '),
                       t -> len(t) > 0), t -> {w})), 0) >= 0 AS keep,
         ({pii}) AS pii,
-        md5(text) AS h
+        md5(coalesce(text, '')) AS h
       FROM documents
     )
     SELECT lang,

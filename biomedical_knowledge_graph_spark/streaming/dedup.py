@@ -26,6 +26,10 @@ same as streaming/events.py.
 
 from __future__ import annotations
 
+import inspect
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from biomedical_knowledge_graph_spark.operators.dedup import (
@@ -40,6 +44,66 @@ _INDEX_SCHEMAS = {
     "postings": "{id} {idt}, shingle string",
     "sizes": "{id} {idt}, sz bigint",
 }
+
+# every parameter that changes the BYTES the index stores: shingle width
+# (postings), hash family size / seed / impl (signature values), band
+# geometry (bucket hashes). A restart with any of these changed probes
+# the old band table with incompatible buckets and silently misses
+# cross-epoch duplicates (ADVICE r6 item 2) — so the first epoch writes
+# a manifest and every later epoch validates against it, failing loudly.
+_GEOMETRY_KEYS = ("n", "num_hashes", "bands", "rows_per_band", "seed")
+
+
+def _effective_geometry(minhash_kwargs: dict) -> dict:
+    """The resolved index geometry: explicit kwargs overlaid on the batch
+    operator's own defaults (single source of truth — no copied literals),
+    plus the env-resolved signature impl (jvm/arrow/oph produce different
+    signature values, so mixing impls across epochs corrupts the index
+    exactly like a band-geometry change)."""
+    params = inspect.signature(minhash_dedup_pairs_incremental).parameters
+    geo = {
+        k: minhash_kwargs.get(k, params[k].default) for k in _GEOMETRY_KEYS
+    }
+    geo["signature_impl"] = minhash_kwargs.get(
+        "signature_impl"
+    ) or os.environ.get("BKG_MINHASH_IMPL", "jvm")
+    return geo
+
+
+def _validate_geometry_manifest(
+    spark: SparkSession, index_dir: str, minhash_kwargs: dict
+) -> None:
+    """Write ``index_dir/_geometry.json`` on the first epoch; on every
+    later epoch require the current kwargs to resolve to the same
+    geometry. Hadoop FileSystem API (not driver-local open()) so the
+    manifest rides whatever filesystem the index lives on."""
+    geo = _effective_geometry(minhash_kwargs)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/_geometry.json")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        stream = fs.open(hpath)
+        try:
+            stored = json.loads(
+                jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+            )
+        finally:
+            stream.close()
+        if stored != geo:
+            raise ValueError(
+                "stream_dedup_minhash: MinHash geometry mismatch — the "
+                f"stored index at {index_dir!r} was built with {stored}, "
+                f"this restart resolves to {geo}. Probing the old band "
+                "table with incompatible buckets would silently miss "
+                "cross-epoch duplicates; rebuild the index or restore "
+                "the original parameters."
+            )
+        return
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(json.dumps(geo, sort_keys=True), "utf-8"))
+    finally:
+        out.close()
 
 
 def _epochs_before(
@@ -118,6 +182,7 @@ def stream_dedup_minhash(
 
     def batch_fn(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        _validate_geometry_manifest(spark, index_dir, minhash_kwargs)
         batch_df = batch_df.select(id_col, text_col).persist()
         try:
             prior = read_index_before(

@@ -144,11 +144,32 @@ def test_oph_signatures_dense_and_deterministic(spark):
     s2 = {r.doc_id: tuple(r.signature) for r in d.minhash_signatures_oph(docs).collect()}
     assert s1 == s2  # deterministic
     for sig in s1.values():
-        assert len(sig) == 128
+        assert len(sig) == 125  # default matches the family's 25x5 geometry
         assert all(v >= 0 for v in sig)  # densification filled every bin
     # doc 1 is a single repeated char: exactly ONE distinct shingle ->
     # one filled bin, 127 borrowed — the extreme densification case
     assert 1 in s1
+
+
+def test_banded_memberships_geometry_guard(spark):
+    """ADVICE r6 item 1: a signature whose length != bands*rows_per_band
+    must raise, not silently hash truncated band slices."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from biomedical_knowledge_graph_spark.operators import dedup as d
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    sigs = d.minhash_signatures_jvm(docs, num_hashes=128)
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)) as ei:
+        d.banded_memberships(sigs, bands=25, rows_per_band=5).collect()
+    assert "banded_memberships" in str(ei.value)
+    # matched geometry passes (128 = 32x4)
+    rows = d.banded_memberships(sigs, bands=32, rows_per_band=4).collect()
+    assert len(rows) == 32
 
 
 def test_minhash_incremental_matches_batch_restriction(spark):

@@ -67,3 +67,47 @@ def test_stream_dedup_minhash_matches_batch(spark, tmp_path):
     idx2 = read_index_before(spark, index_dir, 2)
     assert {r.doc_id for r in idx2.sizes.collect()} == {1, 2, 3, 4, 5, 6}
     assert read_index_before(spark, index_dir, 0) is None
+
+
+def test_stream_dedup_geometry_manifest(spark, tmp_path):
+    """ADVICE r6 item 2: restarting the stream with different MinHash
+    geometry (or a different signature impl) must fail loudly instead of
+    probing the stored index with incompatible buckets and silently
+    missing cross-epoch duplicates. Same-geometry restarts stay fine."""
+    import pyspark.errors
+    import pytest
+
+    src = str(tmp_path / "src")
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+
+    df0 = spark.createDataFrame(EPOCH0, SCHEMA)
+    df0.coalesce(1).write.mode("append").parquet(src)
+
+    def run(ckpt_name, **kwargs):
+        stream = spark.readStream.schema(df0.schema).parquet(src)
+        q = stream_dedup_minhash(
+            stream, index_dir, pairs_dir, str(tmp_path / ckpt_name),
+            threshold=0.5, **kwargs,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run("ckpt0", bands=25, rows_per_band=5)
+    # manifest written with the resolved geometry
+    manifest = (tmp_path / "index" / "_geometry.json").read_text()
+    assert '"bands": 25' in manifest and '"signature_impl": "jvm"' in manifest
+    # same geometry (via defaults) restarts cleanly
+    run("ckpt1")
+    # changed band geometry → loud failure (foreachBatch surfaces the
+    # ValueError as a StreamingQueryException)
+    df0.coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(pyspark.errors.StreamingQueryException) as ei:
+        run("ckpt2", bands=5, rows_per_band=25)
+    assert "geometry mismatch" in str(ei.value)
+    # changed signature impl → loud failure too
+    with pytest.raises(pyspark.errors.StreamingQueryException) as ei:
+        run("ckpt3", signature_impl="arrow")
+    assert "geometry mismatch" in str(ei.value)

@@ -430,16 +430,22 @@ def test_corpus_report(spark):
             (3, "der hund und die katze ist das haus"),  # de
             (4, "contact me at bob@example.com for the offer and the rest"),
             (5, "zzz qqq"),  # no markers -> und
+            (6, None),  # NULL text: first of the NULL/empty group, NOT a dup
+            (7, None),  # second NULL IS a dup of 6 (ADVICE r6 item 5)
         ],
         "doc_id long, text string",
     )
     rows = {r.lang: r for r in textstats.corpus_report(df).collect()}
     assert set(rows) == {"en", "de", "und"}
+    # NULL texts predict "und"; they form ONE group with one free doc
+    und_docs_with_text = 1  # doc 5
+    assert rows["und"].n_docs == und_docs_with_text + 2
+    assert rows["und"].n_dup_docs == 1  # doc 7 only, never doc 6
     en = rows["en"]
     assert en.n_docs == 3 and en.n_dup_docs == 1
     assert en.n_pii_docs == 1  # the email doc
     assert rows["de"].n_docs == 1 and rows["de"].n_pii_docs == 0
-    assert rows["und"].n_docs == 1 and rows["und"].total_tokens == 2
+    assert rows["und"].total_tokens == 2  # NULL texts contribute 0
     # totals are token sums, quality averaged within the language
     assert en.total_tokens == 10 + 10 + 10
     assert 0.0 <= en.avg_quality <= 1.0
@@ -579,6 +585,26 @@ def test_video_metadata_headers():
     moov = _s.pack(">I", 8 + len(trak)) + b"moov" + trak
     ftyp = _s.pack(">I", 16) + b"ftyp" + b"isom" + bytes(4)
     assert v(ftyp + moov) == ("mp4", 640, 360, None)
+    # ADVICE r6 item 4: a leading audio trak (0x0 tkhd) or a truncated
+    # tkhd must not abort the walk — the later video trak still wins
+    audio_body = bytes(4) + bytes(20) + bytes(16) + bytes(36) \
+        + _s.pack(">II", 0, 0)
+    audio_tkhd = _s.pack(">I", 8 + len(audio_body)) + b"tkhd" + audio_body
+    audio_trak = _s.pack(">I", 8 + len(audio_tkhd)) + b"trak" + audio_tkhd
+    moov2 = _s.pack(">I", 8 + len(audio_trak) + len(trak)) + b"moov" \
+        + audio_trak + trak
+    assert v(ftyp + moov2) == ("mp4", 640, 360, None)
+    # truncated version-1 tkhd (size >= 92 but shorter than the v1
+    # layout) followed by a good v0 trak
+    bad_body = bytes([1]) + bytes(91)  # version=1, box too short for v1
+    bad_tkhd = _s.pack(">I", 8 + len(bad_body)) + b"tkhd" + bad_body
+    bad_trak = _s.pack(">I", 8 + len(bad_tkhd)) + b"trak" + bad_tkhd
+    moov3 = _s.pack(">I", 8 + len(bad_trak) + len(trak)) + b"moov" \
+        + bad_trak + trak
+    assert v(ftyp + moov3) == ("mp4", 640, 360, None)
+    # all-audio container: no video trak → None, not a 0x0 result
+    moov4 = _s.pack(">I", 8 + len(audio_trak)) + b"moov" + audio_trak
+    assert v(ftyp + moov4) is None
     # rejects: WAV RIFF, truncated avih, zero-size box loops, junk
     assert v(b"RIFFxxxxWAVE") is None
     assert v(avi[:30]) is None
