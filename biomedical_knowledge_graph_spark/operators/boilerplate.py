@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def remove_repeated_lines(
@@ -144,6 +145,7 @@ def remove_repeated_windows(
     text_col: str = "text",
     w: int = 10,
     min_count: int = 2,
+    checkpoint: bool | str = True,
 ) -> DataFrame:
     """Exact-substring dedup at token-window granularity (the
     scale-practical form of Lee et al.'s "Deduplicating Training Data
@@ -168,7 +170,35 @@ def remove_repeated_windows(
     (volume bounded by repeated windows only, not the corpus), and one
     left_anti join + groupBy(id) reassembles the surviving tokens.
     Every exchange is key-partitioned and corpus-row-bounded; nothing
-    corpus-shaped is broadcast."""
+    corpus-shaped is broadcast.
+
+    Rescan ledger (VERDICT r6 item 3 — the measured persist-vs-rescan
+    decision): the shared frames are ``arr`` (token arrays; feeds the
+    token stream, the window stream, and the id/count spine) and
+    ``wins`` (window hashes; feeds the frequency aggregate and the
+    join-back). The r6 shape left both lazy and scanned the corpus 5×.
+    Measured at 480 k Zipf docs, local[16], interleaved min-of-2
+    (tools/bench_windows_shapes.py; BENCH.md round-7 table):
+
+    - ``checkpoint=False`` — pure rescan, 4 corpus scans (the spine and
+      token totals now derive from ``arr``, which removes one scan and
+      one token-stream aggregate in EVERY shape): 42.65 s;
+    - ``checkpoint="arr"`` — ``arr`` lazily localCheckpointed at
+      DISK_ONLY: one corpus scan + split, all three consumers read the
+      stored arrays; the per-window md5 transform still runs twice
+      (frequency + join-back branches): 38.33 s;
+    - ``checkpoint=True`` (default — the measured winner, 32.58 s) —
+      also checkpoints ``wins``: the w-token concat + md5 per position
+      runs ONCE; the stored window stream is ~(tokens × 44-byte hash
+      rows), corpus-scale disk I/O — but the min_count aggregate already
+      shuffles that same stream, so storing it costs bytes the job
+      moves anyway while saving a full window-hash CPU pass.
+
+    At 100 TB the same trade holds structurally: the stored stream is
+    the size of the aggregate's own exchange input, and the avoided
+    recompute (split + per-window md5 over every token position) grows
+    with the corpus. ``checkpoint="arr"`` remains the fallback when
+    executor-local disk is the binding constraint."""
     if w < 2:
         raise ValueError(f"window must be ≥ 2 tokens: {w}")
     if min_count < 2:
@@ -183,6 +213,11 @@ def remove_repeated_windows(
             f"t -> length(t) > 0)"
         ).alias("_ts"),
     )
+    if checkpoint:
+        # token-array corpus: disk, never memory
+        arr = arr.localCheckpoint(
+            eager=False, storageLevel=StorageLevel.DISK_ONLY
+        )
     # *_outer + null-drop, NOT plain explode: InferFiltersFromGenerate
     # would re-evaluate the expensive generator child (the token split /
     # the per-window md5 transform) two extra times per row as an
@@ -205,6 +240,14 @@ def remove_repeated_windows(
     ).filter(F.col("_w").isNotNull()).select(
         id_col, F.col("_w.pos").alias("_wpos"), F.col("_w.wh").alias("_wh")
     )
+    if checkpoint is True:
+        # full mode (measured winner, module ledger): store the window
+        # stream too so the per-window md5 transform runs once — the
+        # stored stream is the same bytes the min_count aggregate's
+        # exchange consumes
+        wins = wins.localCheckpoint(
+            eager=False, storageLevel=StorageLevel.DISK_ONLY
+        )
     hot = (
         wins.groupBy("_wh")
         .agg(F.count("*").alias("_c"))
@@ -219,8 +262,12 @@ def remove_repeated_windows(
         ).alias("_pos"),
     ).distinct()
     kept = toks.join(covered, [id_col, "_pos"], "left_anti")
-    n_all = toks.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_tokens")
+    # id spine + token totals in ONE doc-row aggregate over arr (the sum
+    # of array sizes equals the token-stream row count, duplicate-id
+    # inputs included) — the r6 shape paid a separate corpus scan for
+    # the spine plus a token-row aggregate for the counts
+    base = arr.groupBy(id_col).agg(
+        F.sum(F.size("_ts")).cast("long").alias("n_tokens")
     )
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
@@ -235,17 +282,13 @@ def remove_repeated_windows(
         F.count("*").cast("long").alias("_n_kept"),
     )
     return (
-        df.select(id_col)
-        .distinct()
-        .join(n_all, id_col, "left")
-        .join(rebuilt, id_col, "left")
+        base.join(rebuilt, id_col, "left")
         .select(
             id_col,
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
-            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.col("n_tokens"),
             (
-                F.coalesce("n_tokens", F.lit(0))
-                - F.coalesce("_n_kept", F.lit(0))
+                F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0))
             ).alias("n_removed_tokens"),
         )
     )

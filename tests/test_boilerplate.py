@@ -157,3 +157,42 @@ def test_remove_repeated_windows_overlap_merge(spark):
     assert got[1].text_clean == "x y"
     assert got[1].n_removed_tokens == 5
     assert got[2].text_clean == "z"
+
+
+def test_remove_repeated_windows_plan_shape_and_shapes_agree(spark, tmp_path):
+    """VERDICT r6 item 3: with the default full checkpoint the outer
+    plan reads the corpus through stored RDDs only; all three checkpoint
+    shapes are value-identical (the 480 k measurement in BENCH.md picked
+    the default)."""
+    from biomedical_knowledge_graph_spark.operators.boilerplate import (
+        remove_repeated_windows,
+    )
+
+    path = str(tmp_path / "docs")
+    shared = "one two three four"
+    spark.createDataFrame(
+        [
+            (1, f"alpha {shared} beta"),
+            (2, f"gamma delta {shared}"),
+            (3, "epsilon zeta eta theta iota"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
+    out = remove_repeated_windows(docs, w=4, min_count=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 0, plan
+    assert plan.count("Scan ExistingRDD") >= 2, plan
+    key = lambda r: (r.doc_id, r.text_clean, r.n_tokens, r.n_removed_tokens)  # noqa: E731
+    full = sorted(map(key, out.collect()))
+    for shape in (False, "arr"):
+        got = sorted(
+            map(
+                key,
+                remove_repeated_windows(
+                    docs, w=4, min_count=2, checkpoint=shape
+                ).collect(),
+            )
+        )
+        assert got == full, shape
