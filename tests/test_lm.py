@@ -96,3 +96,10 @@ def test_plan_shape_single_bigram_pass(spark, tmp_path):
         for r in lm.bigram_lm_scores(df, checkpoint=False).collect()
     }
     assert got == ref
+    # "counts" mode (count-table checkpoint only, bigram stream
+    # recomputed): same values, one extra corpus scan
+    counts = {
+        r.doc_id: (r.n_bigrams, r.score)
+        for r in lm.bigram_lm_scores(df, checkpoint="counts").collect()
+    }
+    assert counts == ref
