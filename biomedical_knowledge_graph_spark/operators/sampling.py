@@ -225,6 +225,25 @@ def weighted_priority_sample(
         .withColumn("_prio", F.expr(f"(_h * {int(scale)}L) div _w"))
     )
     key = F.struct(F.col("_prio").alias("p"), F.col(id_col).alias("i"))
+    return _tree_topk_flag(base, key, parts, k, stratum_col, flag_name).drop(
+        "_h", "_w", "_prio"
+    )
+
+
+def _tree_topk_flag(
+    base: DataFrame,
+    key: Column,
+    parts: list,
+    k: int,
+    stratum_col: str | None,
+    flag_name: str,
+) -> DataFrame:
+    """Shared bounded-buffer tree-merge top-k: flag the rows whose
+    ``key`` (a struct (p, i) with i a unique tie-break id — the k
+    SMALLEST keys win) is within each stratum's top k. Every
+    aggregation buffer is bounded (see weighted_priority_sample's
+    docstring for the level-by-level ledger); the k-th surviving key
+    per stratum is broadcast back as the admission threshold."""
 
     def merge_level(frame: DataFrame, keys: list) -> DataFrame:
         return frame.groupBy(*keys).agg(
@@ -250,7 +269,7 @@ def weighted_priority_sample(
     # more tasks than buckets — below that it is pure added latency
     # (measured ~0.25 s of extra stages at bench scale), so the tree
     # deepens adaptively with the actual input parallelism
-    if df.rdd.getNumPartitions() > 1024:
+    if base.rdd.getNumPartitions() > 1024:
         l3 = merge_level(  # ≤ (tasks/1024) arrays in
             l2.withColumn("_pb", F.pmod(F.col("_pid"), F.lit(1024))),
             [*parts, "_pb"],
@@ -280,9 +299,63 @@ def weighted_priority_sample(
         )
     else:
         joined = base.crossJoin(F.broadcast(thresholds))
-    return (
-        joined.withColumn(flag_name, key <= F.col("_thr"))
-        .drop("_h", "_w", "_prio", "_thr")
+    return joined.withColumn(flag_name, key <= F.col("_thr")).drop("_thr")
+
+
+def stratified_topk(
+    df: DataFrame,
+    id_col: str,
+    order_col: str,
+    k: int,
+    stratum_col: str | None = None,
+    descending: bool = True,
+    flag_name: str = "kept",
+) -> DataFrame:
+    """Exact top-k per stratum by an EXPLICIT score column — the
+    per-domain document cap of RefinedWeb-style webtext pipelines (keep
+    the k best documents per registrable domain so head domains cannot
+    dominate the corpus), and the generic "best k per group" selection
+    step anywhere a full window sort would not survive corpus scale.
+
+    Same bounded-buffer tree merge as weighted_priority_sample (every
+    collect_list buffer capped, the k-th surviving (score, id) key per
+    stratum broadcast back as the admission threshold) — NOT a window
+    row_number, whose whole-stratum sort makes hot strata (head
+    domains) the last reducer. Ties break on ``id_col`` ascending, so
+    the pick is a pure function of the data: equal to
+    row_number() OVER (PARTITION BY stratum ORDER BY score
+    DESC|ASC, id) <= k in any engine. ``order_col`` must be non-null
+    and integer-castable (scale floats yourself — the exactness
+    contract; same rule as weighted_priority_sample's weights);
+    ``id_col`` must be unique and integer-castable."""
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    reserved = {"_s", "_key", "_pid", "_chunk", "_pb", "_top", "_thr",
+                f"_thr_{stratum_col}", flag_name} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"stratified_topk uses temp columns (or would overwrite "
+            f"output column {flag_name!r}) already present in the "
+            f"input: {sorted(reserved)} — rename them first"
+        )
+    raw_s = F.col(order_col).try_cast("long")
+    s_ok = F.when(
+        raw_s.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"stratified_topk: {order_col} must be a non-null "
+                    "integer-castable score, got "
+                ),
+                F.coalesce(F.col(order_col).cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(raw_s)
+    parts = [stratum_col] if stratum_col is not None else []
+    base = df.withColumn("_s", -s_ok if descending else s_ok)
+    key = F.struct(F.col("_s").alias("p"), F.col(id_col).alias("i"))
+    return _tree_topk_flag(base, key, parts, k, stratum_col, flag_name).drop(
+        "_s"
     )
 
 

@@ -3131,6 +3131,61 @@ def doc_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_urls(docs)
 
 
+@register(
+    "doc_domain_topk",
+    f"""
+    WITH aug AS (
+      SELECT doc_id, n_chars, {_URL_AUG_SQL} AS url FROM documents
+    ), h AS (
+      SELECT doc_id, n_chars,
+             lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]*@)?([^/:?#]+)', 1))
+               AS host
+      FROM aug
+    ), d AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN len(labels) <= 1 THEN host
+                  WHEN len(labels) >= 3 AND len(labels[-1]) = 2
+                       AND labels[-2] IN ('co','com','org','net','ac',
+                                          'gov','edu')
+                  THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+                  ELSE labels[-2] || '.' || labels[-1] END AS domain
+      FROM (SELECT *, string_split(host, '.') AS labels FROM h)
+    )
+    SELECT doc_id, domain, n_chars,
+           (row_number() OVER (PARTITION BY domain
+                               ORDER BY n_chars DESC, doc_id) <= 5) AS kept
+    FROM d
+    """,
+    "beyond-reference webtext op — RefinedWeb-style per-domain document "
+    "cap (operators/sampling.py:stratified_topk over "
+    "urltools.registrable_domain): keep the 5 highest-scoring docs per "
+    "eTLD+1 so head domains cannot dominate the corpus (the synthetic "
+    "URLs concentrate 25% of all docs on one domain — real skew). "
+    "Bounded tree-merge top-k, NOT a window row_number: hot domains are "
+    "exactly the last-reducer strata a whole-stratum sort dies on; ties "
+    "break on doc_id so the pick is engine-pure (oracle: row_number "
+    "OVER (PARTITION BY domain ORDER BY n_chars DESC, doc_id) <= 5)",
+)
+def doc_domain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_knowledge_graph_spark.operators.sampling import (
+        stratified_topk,
+    )
+    from biomedical_knowledge_graph_spark.operators.urltools import (
+        _host,
+        registrable_domain,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        registrable_domain(_host(F.expr(_URL_AUG_SQL))).alias("domain"),
+    )
+    return stratified_topk(
+        docs, "doc_id", "n_chars", 5, "domain", flag_name="kept"
+    ).select("doc_id", "domain", "n_chars", "kept")
+
+
 def _qc_oracle_sql() -> str:
     from biomedical_knowledge_graph_spark.operators.textstats import (
         QC_WEIGHT_SPAN,
@@ -3918,6 +3973,10 @@ DEFERRED_PAST_DRIVER_CAP = (
     # surface as_of time travel through an oracled registry query);
     # oracled via test_deferred_queries_match_oracle + the sweep:
     "kg_triples_asof",
+    # round-7 addition: RefinedWeb-style per-domain cap (bounded
+    # tree-merge top-k over eTLD+1); oracled via
+    # test_deferred_queries_match_oracle + the sweep:
+    "doc_domain_topk",
 )
 for _deferred in DEFERRED_PAST_DRIVER_CAP:
     REGISTRY[_deferred] = REGISTRY.pop(_deferred)

@@ -116,6 +116,9 @@ def test_registry_ordering_contract():
             # same sink inside the window, so the time-travel variant
             # takes a deferred slot
             "kg_triples_asof",
+            # round-7: per-domain document cap (bounded tree-merge top-k
+            # over eTLD+1) — new op, registered past the cap
+            "doc_domain_topk",
         )
 
 

@@ -445,3 +445,48 @@ def test_weighted_sample_empty_input(spark):
         ).count()
         == 0
     )
+
+
+def test_stratified_topk_matches_window_reference(spark):
+    """Per-domain cap (round 7): the explicit-score tree-merge top-k
+    must pick the bit-identical set as row_number() OVER (PARTITION BY
+    stratum ORDER BY score DESC|ASC, id) <= k — including NULL strata,
+    duplicated scores (tie-break on id) and strata smaller than k —
+    with no Window node in the plan."""
+    from pyspark.sql import Window
+    from biomedical_knowledge_graph_spark.operators.sampling import (
+        stratified_topk,
+    )
+
+    rows = [
+        (i, None if i % 17 == 0 else "d%d" % (i % 7), (i * 13) % 50)
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, dom string, score int")
+
+    for desc in (True, False):
+        for k in (1, 5, 300, 5000):
+            got = stratified_topk(
+                df.repartition(11), "doc_id", "score", k,
+                stratum_col="dom", descending=desc,
+            )
+            order = F.col("score").desc() if desc else F.col("score").asc()
+            w = Window.partitionBy("dom").orderBy(order, F.col("doc_id"))
+            want = df.withColumn("kept", F.row_number().over(w) <= k)
+            got_kept = {r.doc_id for r in got.filter("kept").collect()}
+            want_kept = {r.doc_id for r in want.filter("kept").collect()}
+            assert got_kept == want_kept, (desc, k)
+            assert got.count() == 2000  # flag, not filter
+
+    plan = stratified_topk(
+        df, "doc_id", "score", 5, stratum_col="dom"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+
+    with pytest.raises(Exception, match="non-null integer-castable"):
+        stratified_topk(
+            spark.createDataFrame(
+                [(1, "a", None)], "doc_id long, dom string, score int"
+            ),
+            "doc_id", "score", 2, stratum_col="dom",
+        ).collect()
