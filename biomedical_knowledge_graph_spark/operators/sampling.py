@@ -33,6 +33,7 @@ Stratified sampling comes in the two standard flavors:
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.storagelevel import StorageLevel
 
 HEX_SPACE = 16 ** 8
 
@@ -447,4 +448,115 @@ def split_contamination(
             F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
             (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
         )
+    )
+
+
+def budget_select(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    tokens_col: str,
+    budget: int,
+    flag_name: str = "selected",
+) -> DataFrame:
+    """Token-budget corpus assembly: flag the highest-scoring documents
+    whose cumulative token count fits a global budget — the greedy
+    knapsack that builds a fixed-size training mix from a scored corpus
+    (take the best docs first, stop when the token budget is spent).
+    A row is selected iff the running sum of ``tokens_col`` over the
+    global order (score DESC, id ASC), INCLUDING the row itself, is
+    ≤ ``budget`` — exactly
+    ``sum(tokens) OVER (ORDER BY score DESC, id) <= budget``.
+
+    The global running sum is computed scalably, NOT with a bare
+    unpartitioned window (one reducer sorting the corpus):
+
+    1. ``repartitionByRange`` on (score DESC, id) — the range
+       partitioner's sampled boundaries balance partitions even when one
+       score value dominates, because the unique id disambiguates;
+    2. running sum WITHIN each partition — a window partitioned by
+       ``spark_partition_id()``, every partition range-bounded;
+    3. partition token totals (a numPartitions-sized frame) prefix-summed
+       by one single-task window over that DIM-SIZED frame and broadcast
+       back as per-partition offsets.
+
+    Selection = offset + within-partition running sum ≤ budget, a pure
+    function of the data (partition boundaries cancel out of the sum).
+    ``tokens_col`` must be non-null and non-negative integer-castable,
+    ``score_col`` non-null integer-castable, ``id_col`` unique — the
+    same exactness contract as the other selection operators."""
+    if budget < 0:
+        raise ValueError(f"budget must be non-negative: {budget}")
+    reserved = {"_pid", "_cum", "_ptot", "_off", "_tok", "_sc",
+                flag_name} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"budget_select uses temp columns (or would overwrite output "
+            f"column {flag_name!r}) already present in the input: "
+            f"{sorted(reserved)} — rename them first"
+        )
+    raw_t = F.col(tokens_col).try_cast("long")
+    t_ok = F.when(
+        raw_t.isNull() | (raw_t < 0),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"budget_select: {tokens_col} must be a non-null "
+                    "non-negative integer-castable count, got "
+                ),
+                F.coalesce(F.col(tokens_col).cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(raw_t)
+    raw_s = F.col(score_col).try_cast("long")
+    s_ok = F.when(
+        raw_s.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"budget_select: {score_col} must be a non-null "
+                    "integer-castable score, got "
+                ),
+                F.coalesce(F.col(score_col).cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(raw_s)
+    n_parts = df.rdd.getNumPartitions()
+    ranged = (
+        df.withColumn("_tok", t_ok)
+        .withColumn("_sc", s_ok)
+        .repartitionByRange(
+            n_parts, F.col("_sc").desc(), F.col(id_col).asc()
+        )
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    win = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col("_sc").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # REQUIRED for correctness, not a perf nicety: the windowed frame
+    # feeds both the result join and the partition-totals aggregate, and
+    # an unpersisted repartitionByRange re-SAMPLES its boundaries per
+    # consuming branch — two executions can assign different _pids and
+    # the offsets would not match the rows they offset. Store once
+    # (DISK_ONLY: corpus-sized), read from both branches.
+    within = ranged.withColumn(
+        "_cum", F.sum("_tok").over(win)
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    totals = within.groupBy("_pid").agg(F.sum("_tok").alias("_ptot"))
+    # numPartitions-sized frame: the one single-task window in the plan
+    # runs over ≤ numPartitions rows, never corpus rows
+    off_win = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        "_pid",
+        (F.sum("_ptot").over(off_win) - F.col("_ptot")).alias("_off"),
+    )
+    return (
+        within.join(F.broadcast(offsets), "_pid")
+        .withColumn(flag_name, (F.col("_off") + F.col("_cum")) <= budget)
+        .drop("_pid", "_cum", "_off", "_tok", "_sc")
     )

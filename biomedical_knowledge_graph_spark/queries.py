@@ -3186,6 +3186,46 @@ def doc_domain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "domain", "n_chars", "kept")
 
 
+@register(
+    "doc_budget_select",
+    """
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> len(x) > 0)) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           (SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 12000)
+             AS selected
+    FROM t
+    """,
+    "beyond-reference webtext op — token-budget corpus assembly "
+    "(operators/sampling.py:budget_select): greedy knapsack that flags "
+    "the best-scored docs until a global 12k-token budget is spent, the "
+    "fixed-size training-mix step. Global running sum WITHOUT a "
+    "single-reducer window: range-partition on (score DESC, id), "
+    "within-partition windowed cumsum, and a broadcast prefix of the "
+    "numPartitions-sized partition totals — partition boundaries cancel "
+    "out of the sum, so the flag equals the oracle's "
+    "SUM() OVER (ORDER BY score DESC, id) <= budget on any cluster",
+)
+def doc_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_knowledge_graph_spark.operators.sampling import (
+        budget_select,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        _ts.token_count("text").alias("n_tokens"),
+    )
+    return budget_select(
+        docs, "doc_id", "n_chars", "n_tokens", 12000, flag_name="selected"
+    ).select("doc_id", "n_chars", "n_tokens", "selected")
+
+
 def _qc_oracle_sql() -> str:
     from biomedical_knowledge_graph_spark.operators.textstats import (
         QC_WEIGHT_SPAN,
@@ -3973,10 +4013,12 @@ DEFERRED_PAST_DRIVER_CAP = (
     # surface as_of time travel through an oracled registry query);
     # oracled via test_deferred_queries_match_oracle + the sweep:
     "kg_triples_asof",
-    # round-7 addition: RefinedWeb-style per-domain cap (bounded
-    # tree-merge top-k over eTLD+1); oracled via
+    # round-7 additions: RefinedWeb-style per-domain cap (bounded
+    # tree-merge top-k over eTLD+1) and token-budget corpus assembly
+    # (range-partitioned global cumsum); oracled via
     # test_deferred_queries_match_oracle + the sweep:
     "doc_domain_topk",
+    "doc_budget_select",
 )
 for _deferred in DEFERRED_PAST_DRIVER_CAP:
     REGISTRY[_deferred] = REGISTRY.pop(_deferred)

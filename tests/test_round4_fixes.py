@@ -117,8 +117,10 @@ def test_registry_ordering_contract():
             # takes a deferred slot
             "kg_triples_asof",
             # round-7: per-domain document cap (bounded tree-merge top-k
-            # over eTLD+1) — new op, registered past the cap
+            # over eTLD+1) and token-budget corpus assembly — new ops,
+            # registered past the cap
             "doc_domain_topk",
+            "doc_budget_select",
         )
 
 

@@ -490,3 +490,45 @@ def test_stratified_topk_matches_window_reference(spark):
             ),
             "doc_id", "score", 2, stratum_col="dom",
         ).collect()
+
+
+def test_budget_select_matches_global_window_reference(spark):
+    """Token-budget corpus assembly (round 7): the range-partitioned
+    cumsum must flag the identical set as the single-reducer
+    SUM() OVER (ORDER BY score DESC, id) <= budget reference, on any
+    input partitioning."""
+    from pyspark.sql import Window
+    from biomedical_knowledge_graph_spark.operators.sampling import (
+        budget_select,
+    )
+
+    rows = [(i, (i * 31) % 100, 1 + (i * 7) % 40) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, score int, toks int")
+    w = (
+        Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = df.agg(F.sum("toks")).collect()[0][0]
+    for budget in (0, 500, total // 3, total, total * 2):
+        want = {
+            r.doc_id
+            for r in df.withColumn("selected", F.sum("toks").over(w) <= budget)
+            .filter("selected")
+            .collect()
+        }
+        for parts in (1, 7):
+            got_df = budget_select(
+                df.repartition(parts), "doc_id", "score", "toks", budget
+            )
+            got = {r.doc_id for r in got_df.filter("selected").collect()}
+            assert got == want, (budget, parts)
+            assert got_df.count() == 3000  # flag, not filter
+    with pytest.raises(ValueError, match="non-negative"):
+        budget_select(df, "doc_id", "score", "toks", -1)
+    with pytest.raises(Exception, match="non-null non-negative"):
+        budget_select(
+            spark.createDataFrame(
+                [(1, 2, -5)], "doc_id long, score int, toks int"
+            ),
+            "doc_id", "score", "toks", 10,
+        ).collect()
