@@ -121,6 +121,9 @@ def test_registry_ordering_contract():
             # registered past the cap
             "doc_domain_topk",
             "doc_budget_select",
+            # round-7: ontology ancestor closure (iterative doubling) —
+            # new op, registered past the cap
+            "kg_ancestor_closure",
         )
 
 
