@@ -3269,6 +3269,52 @@ def kg_ancestor_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _negatives_oracle_sql() -> str:
+    from biomedical_knowledge_graph_spark.operators.negatives import (
+        negative_hash_sql,
+    )
+
+    h = negative_hash_sql("subj", "pred", "obj", "i")
+    return f"""
+    WITH t AS (
+      SELECT l_orderkey AS subj, 'contains' AS pred, l_partkey AS obj
+      FROM lineitem
+    ), c AS (SELECT COUNT(*) AS n FROM part)
+    SELECT subj, pred, obj, CAST(i AS BIGINT) AS neg_idx,
+           CAST((obj + 1 + ({h}) % (n - 1)) % n AS BIGINT) AS neg_obj
+    FROM t, c, (SELECT unnest(range(0, 2)) AS i)
+    """
+
+
+@register(
+    "kg_triple_negatives",
+    _negatives_oracle_sql(),
+    "deterministic negative sampling for KG-embedding training "
+    "(operators/negatives.py:corrupt_tail_negatives): k corrupted-tail "
+    "triples per positive, neg_obj = (obj + 1 + h % (n-1)) % n with h "
+    "an engine-portable md5 hash of (subj, pred, obj, i) — rejection-"
+    "free (offset in [1, n-1] guarantees neg != obj), a pure zero-"
+    "shuffle projection reproducible on any cluster; the entity count "
+    "rides a broadcast 1-row cross-join, never a driver action. "
+    "Demonstrated on (order, contains, part) triples with the part "
+    "table as the dense entity space",
+)
+def kg_triple_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_knowledge_graph_spark.operators.negatives import (
+        corrupt_tail_negatives,
+    )
+
+    triples = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("subj"),
+        F.lit("contains").alias("pred"),
+        F.col("l_partkey").alias("obj"),
+    )
+    n = load(spark, sf_dir, "part").agg(F.count("*").alias("n"))
+    return corrupt_tail_negatives(triples, n, k=2).withColumn(
+        "neg_idx", F.col("neg_idx").cast("long")
+    )
+
+
 def _qc_oracle_sql() -> str:
     from biomedical_knowledge_graph_spark.operators.textstats import (
         QC_WEIGHT_SPAN,
@@ -4065,6 +4111,9 @@ DEFERRED_PAST_DRIVER_CAP = (
     # round-7 addition: ontology ancestor closure (iterative doubling);
     # oracled via test_deferred_queries_match_oracle + the sweep:
     "kg_ancestor_closure",
+    # round-7 addition: deterministic KG-embedding negative sampling
+    # (zero-shuffle md5 corruption); oracled the same way:
+    "kg_triple_negatives",
 )
 for _deferred in DEFERRED_PAST_DRIVER_CAP:
     REGISTRY[_deferred] = REGISTRY.pop(_deferred)

@@ -124,6 +124,9 @@ def test_registry_ordering_contract():
             # round-7: ontology ancestor closure (iterative doubling) —
             # new op, registered past the cap
             "kg_ancestor_closure",
+            # round-7: deterministic KG-embedding negative sampling —
+            # new op, registered past the cap
+            "kg_triple_negatives",
         )
 
 
