@@ -105,3 +105,60 @@ def pack_sequences(
             "straddles"
         ),
     )
+
+
+def chunk_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Overlapping context-window chunking — the other standard
+    pre-training chunker (pack_sequences is concat-then-chunk across
+    docs; this one slides a ``window``-token frame WITHIN each doc at
+    ``stride``-token steps, the HF-style `return_overflowing_tokens`
+    shape). Output: one row per chunk —
+    (id, chunk_idx, n_tokens, chunk_text) — chunks start at token
+    offsets 0, stride, 2·stride, … while the offset is inside the doc,
+    so every token is covered and the final chunk may be short; empty
+    docs emit no rows.
+
+    Pure zero-shuffle projection (tokenize → per-row index sequence →
+    slice/join per index → one explode): chunk count is
+    ceil(n_tokens / stride) per doc, data volume grows by ~window/stride
+    exactly as the training recipe demands, and no state crosses rows.
+    The index sequence is guarded for empty docs — Spark's
+    sequence(0, -1) is DESCENDING [0, -1], not empty."""
+    if window <= 0 or stride <= 0 or stride > window:
+        raise ValueError(
+            f"need 0 < stride <= window: window={window} stride={stride}"
+        )
+    ts = (
+        f"filter(split(coalesce({text_col}, ''), ' '), "
+        f"t -> length(t) > 0)"
+    )
+    n = f"size({ts})"
+    # ceil(n / stride) starts; CASE-guarded: sequence(0, -1) descends
+    starts = (
+        f"CASE WHEN {n} = 0 THEN array() ELSE "
+        f"sequence(0, cast(({n} + {stride} - 1) div {stride} as int) - 1) "
+        f"END"
+    )
+    chunk = F.expr(
+        f"transform({starts}, i -> struct("
+        f"cast(i as bigint) as chunk_idx, "
+        f"cast(least({window}, {n} - i * {stride}) as bigint) as n_tokens, "
+        f"array_join(slice({ts}, i * {stride} + 1, {window}), ' ') "
+        f"as chunk_text))"
+    )
+    return (
+        df.select(id_col, F.explode_outer(chunk).alias("_c"))
+        .filter(F.col("_c").isNotNull())
+        .select(
+            id_col,
+            F.col("_c.chunk_idx").alias("chunk_idx"),
+            F.col("_c.n_tokens").alias("n_tokens"),
+            F.col("_c.chunk_text").alias("chunk_text"),
+        )
+    )

@@ -3269,6 +3269,43 @@ def kg_ancestor_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_chunk_windows",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(coalesce(text, ''), ' '),
+                         x -> len(x) > 0) AS ts
+      FROM documents
+    ), c AS (
+      SELECT doc_id, ts, len(ts) AS n,
+             unnest(range(0, (len(ts) + 7) // 8)) AS i
+      FROM t
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           CAST(least(16, n - i * 8) AS BIGINT) AS n_tokens,
+           array_to_string(ts[(i * 8 + 1):(i * 8 + 16)], ' ') AS chunk_text
+    FROM c
+    """,
+    "beyond-reference webtext op — overlapping context-window chunking "
+    "(operators/packing.py:chunk_windows): the HF-style "
+    "return_overflowing_tokens shape, a 16-token frame sliding at "
+    "8-token stride within each doc (pack_sequences is the "
+    "concat-across-docs flavor; this is the within-doc one). Pure "
+    "zero-shuffle projection: tokenize, per-row ceil(n/stride) index "
+    "sequence (empty-doc guarded — Spark sequence(0,-1) DESCENDS), "
+    "slice+join per index, one explode",
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_knowledge_graph_spark.operators.packing import (
+        chunk_windows,
+    )
+
+    return chunk_windows(
+        load(spark, sf_dir, "documents"), window=16, stride=8
+    )
+
+
 def _negatives_oracle_sql() -> str:
     from biomedical_knowledge_graph_spark.operators.negatives import (
         negative_hash_sql,
@@ -4114,6 +4151,9 @@ DEFERRED_PAST_DRIVER_CAP = (
     # round-7 addition: deterministic KG-embedding negative sampling
     # (zero-shuffle md5 corruption); oracled the same way:
     "kg_triple_negatives",
+    # round-7 addition: overlapping context-window chunking
+    # (zero-shuffle projection); oracled the same way:
+    "doc_chunk_windows",
 )
 for _deferred in DEFERRED_PAST_DRIVER_CAP:
     REGISTRY[_deferred] = REGISTRY.pop(_deferred)

@@ -127,6 +127,9 @@ def test_registry_ordering_contract():
             # round-7: deterministic KG-embedding negative sampling —
             # new op, registered past the cap
             "kg_triple_negatives",
+            # round-7: overlapping context-window chunking — new op,
+            # registered past the cap
+            "doc_chunk_windows",
         )
 
 
