@@ -506,6 +506,13 @@ def budget_select(
 
     Selection = offset + within-partition running sum ≤ budget, a pure
     function of the data (partition boundaries cancel out of the sum).
+
+    Shuffle ledger: two corpus-row exchanges — the range repartition,
+    then the window's hash(_pid) exchange (the rows are ALREADY
+    co-located by _pid, but Catalyst cannot be told a derived column
+    equals the physical partition id, so the window re-shuffles them;
+    the exchange is perfectly balanced by construction) — plus two
+    dim-sized ones (totals aggregate, offsets broadcast).
     ``tokens_col`` must be non-null and non-negative integer-castable,
     ``score_col`` non-null integer-castable, ``id_col`` unique — the
     same exactness contract as the other selection operators."""
