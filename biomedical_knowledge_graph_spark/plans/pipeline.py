@@ -50,6 +50,35 @@ class KGResult:
     triples: DataFrame
 
 
+def _union_find_components(pairs) -> dict[str, str]:
+    """Driver-side union-find over (alias, canonical_id) pairs: ids
+    sharing an alias merge; every root is the lexicographic MINIMUM
+    canonical_id of its component (merges attach the higher root under
+    the lower). Returns {canonical_id: resolved_id} for every id seen.
+    Shared by alias_component_map's local mode and build_kg's fused AC
+    path so both produce bit-identical resolutions."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids: set[str] = set()
+    by_alias: dict[str, str] = {}
+    for alias, cid in pairs:
+        ids.add(cid)
+        first = by_alias.setdefault(alias, cid)
+        if first != cid:
+            ra, rb = find(first), find(cid)
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+    return {cid: find(cid) for cid in ids}
+
+
 def alias_component_map(
     dim_current: DataFrame, mode: str = "auto", broadcast_threshold: int = 5_000_000
 ) -> DataFrame:
@@ -83,26 +112,11 @@ def alias_component_map(
         ):
             raise ValueError("alias dim too large for local CC; use distributed")
         rows = dim_current.select("alias", "canonical_id").collect()
-        parent: dict[str, str] = {}
-
-        def find(x: str) -> str:
-            parent.setdefault(x, x)
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        by_alias: dict[str, str] = {}
-        for r in rows:
-            cid = r["canonical_id"]
-            first = by_alias.setdefault(r["alias"], cid)
-            if first != cid:
-                ra, rb = find(first), find(cid)
-                if ra != rb:
-                    lo, hi = min(ra, rb), max(ra, rb)
-                    parent[hi] = lo
-        ids = sorted({r["canonical_id"] for r in rows})
-        data = [(cid, find(cid)) for cid in ids]
+        data = sorted(
+            _union_find_components(
+                (r["alias"], r["canonical_id"]) for r in rows
+            ).items()
+        )
         return dim_current.sparkSession.createDataFrame(
             data, "canonical_id string, resolved_id string"
         )
@@ -164,14 +178,32 @@ def build_kg(
 
         max_aliases = int(_os.environ.get("BKG_AC_MAX_ALIASES", 2_000_000))
         max_chars = int(_os.environ.get("BKG_AC_MAX_CHARS", 20_000_000))
-        distinct_aliases = dim_current.select("alias").distinct()
-        too_big = distinct_aliases.limit(max_aliases + 1).count() > max_aliases
-        if not too_big:
-            total_chars = distinct_aliases.agg(
-                F.sum(F.length("alias"))
-            ).first()[0]
-            too_big = (total_chars or 0) > max_chars
-        if too_big:
+        # ONE row-bounded probe + ONE collect (round 7): the old chain ran
+        # five serial dim-sized jobs before any corpus work — distinct-
+        # alias probe, char-sum aggregate, alias_component_map's own probe
+        # + collect, then the link_rows collect — and their fixed job
+        # latency was ~25% of the whole build at bench scale. Everything
+        # they computed (size guards, union-find components, the composed
+        # alias → (resolved, type) map) derives from the same collected
+        # rows. dim rows ≥ distinct aliases, so the row probe is at least
+        # as strict as the old distinct-alias probe; the exact char guard
+        # runs on the collected aliases before anything big is built.
+        if dim_current.limit(max_aliases + 1).count() > max_aliases:
+            raise ValueError(
+                "alias dictionary too large for the AC (driver-collected, "
+                "per-worker-automaton) strategy; use "
+                "mention_strategy='token_join'"
+            )
+        dim_rows = dim_current.select(
+            # alias case-fold in SQL, not Python: the scan lowers doc text
+            # engine-side, and the dictionary side must fold identically
+            # (Python str.lower diverges on some Unicode)
+            F.lower("alias").alias("alias_lc"),
+            "alias",
+            "canonical_id",
+            "entity_type",
+        ).collect()
+        if sum(len(a) for a in {r["alias_lc"] for r in dim_rows}) > max_chars:
             raise ValueError(
                 "alias dictionary too large for the AC (driver-collected, "
                 "per-worker-automaton) strategy; use "
@@ -185,17 +217,18 @@ def build_kg(
         # (doc, entity, type) rows with NO link joins and NO distinct
         # shuffle (the dedup key is born partition-local). Equality with
         # the unfused chain is pinned by test_pipeline.
-        comp_map = alias_component_map(dim_current)
-        link_rows = (
-            dim_current.join(comp_map, "canonical_id")
-            .select(
-                F.lower("alias").alias("alias"),
-                "canonical_id",
-                "resolved_id",
-                "entity_type",
-            )
-            .collect()
+        comp = _union_find_components(
+            (r["alias"], r["canonical_id"]) for r in dim_rows
         )
+        link_rows = [
+            {
+                "alias": r["alias_lc"],
+                "canonical_id": r["canonical_id"],
+                "resolved_id": comp[r["canonical_id"]],
+                "entity_type": r["entity_type"],
+            }
+            for r in dim_rows
+        ]
         # replicate link_mentions' dedup contract: case-duplicate dim rows
         # collapse per (alias, canonical) with MIN entity_type (nulls lose)
         per_ac: dict[tuple[str, str], tuple[str, str]] = {}
