@@ -91,6 +91,16 @@ HEADLINE = [
     "doc_normalize_text",
     # AVI/MP4 container-header metadata parse
     "multimodal_video_meta",
+    # round 7 additions: RefinedWeb-style per-domain cap (bounded
+    # tree-merge top-k), token-budget corpus assembly (range-partitioned
+    # global cumsum), ontology ancestor closure (iterative doubling),
+    # deterministic KG-embedding negative sampling (zero-shuffle) and
+    # overlapping context-window chunking (zero-shuffle)
+    "doc_domain_topk",
+    "doc_budget_select",
+    "kg_ancestor_closure",
+    "kg_triple_negatives",
+    "doc_chunk_windows",
 ]
 
 
