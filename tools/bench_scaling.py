@@ -248,15 +248,22 @@ def main() -> None:
             t: f"local-cluster[{t // cpw},{cpw},{mem}]" for t in (low, high)
         }
 
-    tmp = tempfile.mkdtemp(prefix="bkg_scaling_")
+    # BKG_SCALING_INPUTS: reuse a prior invocation's generated corpus
+    # (same n_pages — caller's responsibility) and keep it on exit, so
+    # quiet-window re-runs skip the multi-minute page generation
+    reuse = os.environ.get("BKG_SCALING_INPUTS")
+    tmp = reuse or tempfile.mkdtemp(prefix="bkg_scaling_")
     pages_path = os.path.join(tmp, "pages")
     try:
-        spark = new_session("bkg-gen", master=f"local[{high}]")
-        aliases = [a for a, _, _ in fixtures.synthetic_alias_specs(5000, seed=42)]
-        fixtures.generate_pages_distributed(
-            spark, n_pages, aliases, seed=42, partitions=high * 8
-        ).write.mode("overwrite").parquet(pages_path)
-        spark.stop()
+        if not (reuse and os.path.isdir(pages_path)):
+            spark = new_session("bkg-gen", master=f"local[{high}]")
+            aliases = [
+                a for a, _, _ in fixtures.synthetic_alias_specs(5000, seed=42)
+            ]
+            fixtures.generate_pages_distributed(
+                spark, n_pages, aliases, seed=42, partitions=high * 8
+            ).write.mode("overwrite").parquet(pages_path)
+            spark.stop()
 
         ceiling = cpu_ceiling(low, high)
         results = run_interleaved(
@@ -317,7 +324,8 @@ Reproduce: `python tools/bench_scaling.py {n_pages} {low} {high} {reps}`
 """
             )
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        if not reuse:
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":
