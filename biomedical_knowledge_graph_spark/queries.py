@@ -78,7 +78,7 @@ def _doc_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup + dictionary lookup in-process replaces the broadcast join AND
     the distinct shuffle — oracle-identical to the scan→join→distinct
     chain it replaced)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", parallelize=True)
     link_map: dict[str, list[tuple[str, str]]] = {}
     for alias, eid, etype in DOC_ENTITY_DICT:
         link_map.setdefault(alias, []).append((eid, etype))
@@ -114,7 +114,7 @@ def kg_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     "A11 — per-(doc, entity) occurrence histogram",
 )
 def kg_mention_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", parallelize=True)
     dim = doc_entity_dim(spark)
     mentions = scan_mentions(
         docs, [a for a, _, _ in DOC_ENTITY_DICT], id_col="doc_id", text_col="text"
@@ -309,7 +309,7 @@ def kg_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs emitted JVM-side from the sorted per-order array) instead of a
     # doc-key self-join — same scale-safe shape cooccurrence_edges uses;
     # per-order fan-out is bounded (≤7 lineitems) so pairs stay linear
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", parallelize=True)
     edges = (
         cooccurrence_edges(
             li,
@@ -543,7 +543,7 @@ _SH_CTE = """
     "exact dedup — hash-groupBy on content digest",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", parallelize=True)
     return _dedup.exact_duplicate_groups(docs).select(
         "content_hash", "keep_id", "n_docs"
     )
@@ -575,7 +575,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "brute force — with 25 bands x 5 rows, miss probability at J=0.8 is ~5e-5",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", parallelize=True)
     return _dedup.minhash_dedup_pairs(docs, threshold=0.8)
 
 
@@ -619,7 +619,7 @@ def _simhash_oracle() -> str:
     "bit_count(xor) exact hamming",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", parallelize=True)
     return _dedup.simhash_near_pairs(docs, max_hamming=6)
 
 
@@ -648,7 +648,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ANN baseline — exact brute-force cosine top-k with broadcast queries",
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", parallelize=True)
     queries_df = emb.filter(F.col("vec_id") < 10)
     return _sim.cosine_topk(emb, queries_df, k=5).withColumn(
         "rank", F.col("rank").cast("long")
@@ -760,7 +760,7 @@ def _lsh_topk_oracle(
     "structure itself is value-checked",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", parallelize=True)
     queries_df = emb.filter(F.col("vec_id") < 10)
     return _sim.lsh_topk(emb, queries_df, dim=64, k=5, n_planes=8).withColumn(
         "rank", F.col("rank").cast("long")
@@ -776,7 +776,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and probe set literally",
 )
 def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", parallelize=True)
     queries_df = emb.filter(F.col("vec_id") < 10)
     return _sim.lsh_topk(
         emb, queries_df, dim=64, k=5, n_planes=8, n_probe=3
@@ -832,7 +832,7 @@ _IVF_CENTROID_IDS = [0, 50, 100, 150, 200, 250, 300, 350]
     "exactly, so the approximate structure is value-checked",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", parallelize=True)
     queries_df = emb.filter(F.col("vec_id") < 10)
     return _sim.ivf_topk(
         emb, queries_df, centroid_ids=_IVF_CENTROID_IDS, k=5
@@ -918,7 +918,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "themselves are value-checked",
 )
 def ann_ivf_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", parallelize=True)
     queries_df = emb.filter(F.col("vec_id") < 10)
     cents = _sim.sampled_centroids(emb, k=8)
     return _sim.ivf_topk_from_centroids(
@@ -1000,7 +1000,7 @@ def _perturbed_corpus(emb: DataFrame) -> DataFrame:
     "24 tables: miss prob ~1e-8 at cosine 0.95)",
 )
 def embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", parallelize=True)
     return _sim.lsh_near_pairs(
         _perturbed_corpus(emb), dim=64, threshold=0.9, n_planes=6, n_tables=24
     )
@@ -1596,7 +1596,7 @@ def segment_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(talisman_gene_validator.py:294-329 analogue)",
 )
 def unmatched_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", parallelize=True)
     dim = doc_entity_dim(spark)
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
@@ -2094,7 +2094,7 @@ def dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", parallelize=True)
     pairs = _dd.minhash_dedup_pairs(docs, threshold=0.8)
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     comp = connected_components(edges).select(
@@ -2599,7 +2599,7 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_topk,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", parallelize=True)
     return bm25_topk(docs, list(_BM25_TERMS), k=15)
 
 
@@ -2713,7 +2713,7 @@ def doc_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "no Python, no window, map-side combine on (doc, kind, gram)",
 )
 def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", parallelize=True)
     return _ts.repetition_features(docs)
 
 
@@ -2760,7 +2760,7 @@ def split_contamination_query(
         split_contamination,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", parallelize=True)
     return split_contamination(docs)
 
 
@@ -2912,7 +2912,7 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted_priority_sample,
     )
 
-    docs = load(spark, sf_dir, "documents").select(
+    docs = load(spark, sf_dir, "documents", parallelize=True).select(
         "doc_id", "lang", "n_chars"
     )
     return weighted_priority_sample(
@@ -2989,7 +2989,7 @@ def doc_remove_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         remove_repeated_lines,
     )
 
-    docs = load(spark, sf_dir, "documents").select(
+    docs = load(spark, sf_dir, "documents", parallelize=True).select(
         "doc_id", _boiler_aug_col().alias("text")
     )
     return remove_repeated_lines(docs, min_count=3)
@@ -3176,7 +3176,7 @@ def doc_domain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         registrable_domain,
     )
 
-    docs = load(spark, sf_dir, "documents").select(
+    docs = load(spark, sf_dir, "documents", parallelize=True).select(
         "doc_id",
         "n_chars",
         registrable_domain(_host(F.expr(_URL_AUG_SQL))).alias("domain"),
@@ -3216,7 +3216,7 @@ def doc_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget_select,
     )
 
-    docs = load(spark, sf_dir, "documents").select(
+    docs = load(spark, sf_dir, "documents", parallelize=True).select(
         "doc_id",
         "n_chars",
         _ts.token_count("text").alias("n_tokens"),
@@ -3252,6 +3252,8 @@ def doc_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     "same closure as a recursive CTE",
 )
 def kg_ancestor_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     from biomedical_knowledge_graph_spark.operators.closure import (
         transitive_closure,
     )
@@ -3264,7 +3266,15 @@ def kg_ancestor_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(p_partkey - 1) div 2").alias("parent"),
         )
     )
-    return transitive_closure(edges).select(
+    # fixed-rounds mode (round 8, VERDICT r7 item 3): the demo hierarchy
+    # is the heap-indexed binary tree over part keys [1..n] rooted at 0,
+    # whose exact depth is floor(log2(n + 1)) — one cheap count instead
+    # of one count-probe action PER doubling round (the probe mode paid
+    # ~2 jobs/round plus a whole extra round to observe the fixed point).
+    # Output is identical (test-pinned vs probe mode; oracle unchanged).
+    n = load(spark, sf_dir, "part").filter(F.col("p_partkey") >= 1).count()
+    depth = max(1, int(math.floor(math.log2(n + 1)))) if n else 1
+    return transitive_closure(edges, max_depth=depth).select(
         F.col("child").alias("node"), F.col("parent").alias("ancestor")
     )
 
@@ -3341,7 +3351,7 @@ def kg_triple_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         corrupt_tail_negatives,
     )
 
-    triples = load(spark, sf_dir, "lineitem").select(
+    triples = load(spark, sf_dir, "lineitem", parallelize=True).select(
         F.col("l_orderkey").alias("subj"),
         F.lit("contains").alias("pred"),
         F.col("l_partkey").alias("obj"),
@@ -3423,7 +3433,7 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biomedical_knowledge_graph_spark.operators import dedup as _dd
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", parallelize=True)
     baseline = docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) != 0)
     new_batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == 0)
     index = _dd.minhash_index(baseline, persist=True)
@@ -3724,7 +3734,7 @@ def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_report,
     )
 
-    return corpus_report(load(spark, sf_dir, "documents"))
+    return corpus_report(load(spark, sf_dir, "documents", parallelize=True))
 
 
 _REL_VERBS = {
@@ -3795,7 +3805,7 @@ def kg_typed_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return pattern_typed_relations(
-        load(spark, sf_dir, "documents"),
+        load(spark, sf_dir, "documents", parallelize=True),
         doc_entity_dim(spark),
         _REL_VERBS,
     )
@@ -3875,7 +3885,7 @@ def doc_remove_repeated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit(_RW_SENT))
         .otherwise(F.concat(F.lit("tail "), F.col("doc_id").cast("string"))),
     )
-    docs = load(spark, sf_dir, "documents").select(
+    docs = load(spark, sf_dir, "documents", parallelize=True).select(
         "doc_id", aug.alias("text")
     )
     return remove_repeated_windows(docs, w=8, min_count=2)
@@ -3988,7 +3998,7 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigram_lm_scores,
     )
 
-    return bigram_lm_scores(load(spark, sf_dir, "documents"))
+    return bigram_lm_scores(load(spark, sf_dir, "documents", parallelize=True))
 
 
 @register(

@@ -9,6 +9,9 @@ oracle SQL (rendered as an inline VALUES CTE).
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -25,10 +28,57 @@ TABLES = (
 )
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _estimated_scan_splits(spark: SparkSession, path: str) -> int | None:
+    """How many input splits a parquet scan of ``path`` will roughly get:
+    max(file count, total bytes / maxPartitionBytes). Local filesystem
+    only — any other scheme returns None (caller must assume the scan
+    parallelizes naturally, which at cluster scale it does)."""
+    try:
+        if os.path.isfile(path):
+            sizes = [os.path.getsize(path)]
+        elif os.path.isdir(path):
+            sizes = [
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if not f.startswith(("_", "."))
+            ]
+        else:
+            return None
+    except OSError:
+        return None
+    if not sizes:
+        return None
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    max_pb = int(str(raw).lower().rstrip("b")) or 1
+    return max(len(sizes), math.ceil(sum(sizes) / max_pb))
+
+
+def load(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
+) -> DataFrame:
+    """Read one testdata table. ``parallelize=True`` is for call sites
+    whose FIRST stage does heavy per-row work (shingling, wide partial
+    aggregates, Arrow kernels): when the scan would yield fewer splits
+    than ``defaultParallelism`` — the single-file/single-row-group
+    testdata layout is exactly the guide's "one huge unsplittable file"
+    input-skew case (§2.5), every pre-exchange operator runs on ONE core
+    — a round-robin repartition to core count spreads the rows first.
+    Catalyst still pushes filters and prunes columns THROUGH the
+    repartition to the parquet scan (verified: PushedFilters/ReadSchema
+    unchanged), so only row placement differs. At production scale the
+    scan has >= parallelism splits and the gate disables itself: the
+    plan is byte-identical to ``parallelize=False``. Zero-shuffle
+    projection queries must NOT set it — an exchange there would double
+    the bytes moved at scale for no win."""
     if name not in TABLES:
         raise KeyError(name)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if parallelize:
+        par = spark.sparkContext.defaultParallelism
+        est = _estimated_scan_splits(spark, f"{sf_dir}/{name}.parquet")
+        if est is not None and est < par:
+            df = df.repartition(par)
+    return df
 
 
 # alias → (entity_id, entity_type); aliases are single lowercase tokens of

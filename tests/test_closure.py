@@ -69,3 +69,32 @@ def test_closure_max_rounds_guard(spark):
     )
     with pytest.raises(ValueError, match="did not converge"):
         transitive_closure(edges, max_rounds=2)  # diameter 40 > 2^2
+
+def test_closure_fixed_rounds_matches_probe_mode(spark):
+    # round-8 optimization: max_depth runs ceil(log2(depth)) fixed
+    # doubling rounds with no convergence probes — output must be the
+    # IDENTICAL set probe mode converges to
+    edges = spark.createDataFrame(
+        [(i, i - 1) for i in range(1, 23)], "child long, parent long"
+    )
+    probe = _pairs(transitive_closure(edges))
+    fixed = _pairs(transitive_closure(edges, max_depth=22))
+    assert fixed == probe
+    # an over-estimated depth only adds no-op rounds, never changes output
+    assert _pairs(transitive_closure(edges, max_depth=64)) == probe
+
+
+def test_closure_fixed_rounds_shallow_and_invalid(spark):
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b")], "child string, parent string"
+    )
+    # depth 1 = zero doubling rounds = the direct edge set only
+    assert _pairs(transitive_closure(edges, max_depth=1)) == {
+        ("b", "a"), ("c", "b")
+    }
+    # exact depth covers the chain
+    assert _pairs(transitive_closure(edges, max_depth=2)) == {
+        ("b", "a"), ("c", "b"), ("c", "a")
+    }
+    with pytest.raises(ValueError, match="max_depth"):
+        transitive_closure(edges, max_depth=0)
