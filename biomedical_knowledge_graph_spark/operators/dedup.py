@@ -155,6 +155,7 @@ def minhash_signatures(
     num_hashes: int = 125,
     seed: int = 7,
     shingles: DataFrame | None = None,
+    with_size: bool = False,
 ) -> DataFrame:
     """(id, signature array<long>) — shingle → xxhash64 → k universal-hash
     minima, computed vectorized in numpy over Arrow batches.
@@ -175,17 +176,24 @@ def minhash_signatures(
         a = a_params.astype(np.uint64)
         b = b_params.astype(np.uint64)
         for pdf in batches:
-            ids, sigs = [], []
+            ids, sigs, szs = [], [], []
             for doc_id, hashes in zip(pdf[id_col].values, pdf["hashes"].values):
                 x = np.asarray(hashes, dtype=np.uint64)[:, None]  # (s, 1)
                 vals = (x * a + b) % np.uint64(_MERSENNE)  # (s, k)
                 sigs.append(vals.min(axis=0).astype(np.int64))
                 ids.append(doc_id)
-            yield pd.DataFrame({id_col: ids, "signature": sigs})
+                szs.append(len(hashes))
+            out = {id_col: ids, "signature": sigs}
+            if with_size:
+                # shingle rows are distinct per doc → the hash-list length
+                # IS the shingle-set size
+                out["sz"] = szs
+            yield pd.DataFrame(out)
 
-    return grouped.mapInPandas(
-        sign, schema=f"{id_col} {id_type}, signature array<bigint>"
-    )
+    schema = f"{id_col} {id_type}, signature array<bigint>"
+    if with_size:
+        schema += ", sz bigint"
+    return grouped.mapInPandas(sign, schema=schema)
 
 
 _M31 = (1 << 31) - 1  # Mersenne prime 2^31-1: (a*h31+b) fits a long
@@ -199,6 +207,7 @@ def minhash_signatures_jvm(
     num_hashes: int = 125,
     seed: int = 7,
     shingles: DataFrame | None = None,
+    with_size: bool = False,
 ) -> DataFrame:
     """(id, signature array<long>) computed entirely JVM-side: shingle →
     xxhash64 masked to 31 bits → ``num_hashes`` universal-hash minima as
@@ -224,13 +233,22 @@ def minhash_signatures_jvm(
         F.min((F.col("h") * int(a[i]) + int(b[i])) % _M31).alias(f"_m{i}")
         for i in range(num_hashes)
     ]
+    if with_size:
+        # shingle rows are already distinct per doc, so count(*) IS the
+        # shingle-set size — the 126th aggregate of the SAME hash
+        # aggregate, free vs the separate sh.groupBy(id).count() pass
+        # the verifier used to run (twice: once per join side)
+        aggs.append(F.count("*").alias("sz"))
     grouped = sh.groupBy(id_col).agg(*aggs)
-    return grouped.select(
-        id_col,
+    out_cols = [
+        F.col(id_col),
         F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias(
             "signature"
         ),
-    )
+    ]
+    if with_size:
+        out_cols.append(F.col("sz"))
+    return grouped.select(*out_cols)
 
 
 def minhash_signatures_oph(
@@ -241,6 +259,7 @@ def minhash_signatures_oph(
     num_hashes: int = 125,
     seed: int = 7,
     shingles: DataFrame | None = None,
+    with_size: bool = False,
 ) -> DataFrame:
     """(id, signature array<long>) via densified ONE-PERMUTATION hashing
     (Li/Owen/Zhang OPH + Shrivastava-Li rotation densification).
@@ -273,9 +292,13 @@ def minhash_signatures_oph(
         F.pmod(F.shiftrightunsigned("_h", 32), F.lit(k)).alias("_bin"),
         F.col("_h").bitwiseAND(F.lit((1 << 32) - 1)).alias("_v"),
     )
-    mins = binned.groupBy(id_col, "_bin").agg(F.min("_v").alias("_mv"))
+    mins = binned.groupBy(id_col, "_bin").agg(
+        F.min("_v").alias("_mv"), F.count("*").alias("_c")
+    )
     compact = mins.groupBy(id_col).agg(
-        F.collect_list(F.struct("_bin", "_mv")).alias("_bm")
+        F.collect_list(F.struct("_bin", "_mv")).alias("_bm"),
+        # per-bin counts sum to the (distinct) shingle-set size
+        F.sum("_c").alias("_sz"),
     )
     id_type = df.schema[id_col].dataType.simpleString()
 
@@ -299,11 +322,15 @@ def minhash_signatures_oph(
                         dense[j] = dense[src] + int((src - j) % k)
                 ids.append(doc_id)
                 sigs.append(dense)
-            yield pd.DataFrame({id_col: ids, "signature": sigs})
+            out = {id_col: ids, "signature": sigs}
+            if with_size:
+                out["sz"] = pdf["_sz"].values
+            yield pd.DataFrame(out)
 
-    return compact.mapInPandas(
-        densify, schema=f"{id_col} {id_type}, signature array<bigint>"
-    )
+    schema = f"{id_col} {id_type}, signature array<bigint>"
+    if with_size:
+        schema += ", sz bigint"
+    return compact.mapInPandas(densify, schema=schema)
 
 
 def banded_memberships(
@@ -311,6 +338,7 @@ def banded_memberships(
     id_col: str = "doc_id",
     bands: int = 25,
     rows_per_band: int = 5,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, band, bucket) LSH band memberships — the bucket is xxhash64
     over the band's signature slice (buckets are only compared for
@@ -338,6 +366,7 @@ def banded_memberships(
     )
     return guarded.select(
         id_col,
+        *carry,
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), b -> struct(b as band, "
@@ -346,7 +375,10 @@ def banded_memberships(
             )
         ).alias("bb"),
     ).select(
-        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        id_col,
+        *carry,
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
     )
 
 
@@ -355,6 +387,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     bands: int = 25,
     rows_per_band: int = 5,
+    size_ratio_at_least: float | None = None,
 ) -> DataFrame:
     """Banded LSH: (id_a, id_b) candidate pairs, id_a < id_b. One shuffle on
     (band, band-slice hash); pairs emerge only inside buckets.
@@ -376,25 +409,73 @@ def minhash_lsh_candidates(
     id per member (8 bytes x occupancy); the quadratic candidate volume
     streams out of the generators exactly as it streamed out of the
     join, and a degenerate exact-dup mega-cell should be collapsed by
-    exact dedup upstream under either shape."""
-    sliced = banded_memberships(signatures, id_col, bands, rows_per_band)
+    exact dedup upstream under either shape.
+
+    ``size_ratio_at_least`` (round 8): when the signature frame carries
+    a per-doc ``sz`` column (``with_size=True`` in the signature impl —
+    a free extra aggregate), the sizes ride the cell arrays and the
+    size-ratio prefilter (J >= t ⇒ min(sz)/max(sz) >= t, exact) runs
+    INSIDE the pair generator, BEFORE the candidate-dedup exchange —
+    the same filter-before-distinct move simhash_near_pairs uses for
+    hamming. The verifier then reads sz_a/sz_b off the candidate rows
+    instead of re-aggregating the postings once per join side (two full
+    postings passes removed). Output columns become
+    (id_a, id_b, sz_a, sz_b); None keeps the classic (id_a, id_b)."""
+    if size_ratio_at_least is None:
+        sliced = banded_memberships(signatures, id_col, bands, rows_per_band)
+        cells = (
+            sliced.groupBy("band", "bucket")
+            .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+            .filter(F.size("_ids") >= 2)
+        )
+        return (
+            cells.select("_ids", F.posexplode("_ids").alias("_i", "_x"))
+            .select(
+                F.col("_x").alias("id_a"),
+                F.explode(
+                    F.expr("slice(_ids, _i + 2, size(_ids))")
+                ).alias("id_b"),
+            )
+            # a duplicated input id landing twice in one cell would emit
+            # an (x, x) self-pair under positional slicing (the old
+            # self-join's strict id_a < id_b excluded it); keep the old
+            # semantics
+            .filter(F.col("id_a") != F.col("id_b"))
+            .distinct()
+        )
+    sliced = banded_memberships(
+        signatures, id_col, bands, rows_per_band, carry=("sz",)
+    )
     cells = (
         sliced.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
-        .filter(F.size("_ids") >= 2)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), "sz"))
+            ).alias("_ms")
+        )
+        .filter(F.size("_ms") >= 2)
     )
     return (
-        cells.select("_ids", F.posexplode("_ids").alias("_i", "_x"))
+        cells.select("_ms", F.posexplode("_ms").alias("_i", "_x"))
         .select(
-            F.col("_x").alias("id_a"),
-            F.explode(
-                F.expr("slice(_ids, _i + 2, size(_ids))")
-            ).alias("id_b"),
+            F.col("_x.i").alias("id_a"),
+            F.col("_x.sz").alias("sz_a"),
+            F.explode(F.expr("slice(_ms, _i + 2, size(_ms))")).alias("_y"),
         )
-        # a duplicated input id landing twice in one cell would emit an
-        # (x, x) self-pair under positional slicing (the old self-join's
-        # strict id_a < id_b excluded it); keep the old semantics
+        .select(
+            "id_a",
+            "sz_a",
+            F.col("_y.i").alias("id_b"),
+            F.col("_y.sz").alias("sz_b"),
+        )
         .filter(F.col("id_a") != F.col("id_b"))
+        # exact-preserving prefilter BEFORE the dedup exchange: far-sized
+        # pairs never reach the shuffle
+        .filter(
+            F.least(F.col("sz_a"), F.col("sz_b"))
+            / F.greatest(F.col("sz_a"), F.col("sz_b"))
+            >= size_ratio_at_least
+        )
         .distinct()
     )
 
@@ -475,11 +556,20 @@ def _minhash_dedup_pairs_impl(
         "arrow": minhash_signatures,
         "oph": minhash_signatures_oph,
     }[signature_impl]
+    # round 8: sizes are computed as one extra aggregate of the
+    # signature pass and ride the banded cells, so the ratio prefilter
+    # runs before the candidate distinct and the verifier never
+    # re-aggregates the postings for sizes (was two more full passes
+    # over the shingle cache — one per join side)
     cands = minhash_lsh_candidates(
-        sign_fn(df, id_col, text_col, n, num_hashes, seed, shingles=sh),
+        sign_fn(
+            df, id_col, text_col, n, num_hashes, seed, shingles=sh,
+            with_size=True,
+        ),
         id_col,
         bands,
         rows_per_band,
+        size_ratio_at_least=threshold,
     )
     result = verify_pairs(cands, sh, id_col, threshold)
     # eager: materialize the (small) verified-pairs result and truncate
@@ -500,26 +590,36 @@ def verify_pairs(
     (id_a, id_b, jaccard ≥ threshold). Shared by the batch and
     incremental MinHash paths; pass precomputed ``sizes`` (id, sz) when
     they are already stored (the incremental index) so the prefilter
-    does not re-aggregate the postings."""
-    # size-ratio prefilter first (tiny sizes table; J ≥ t forces
-    # min(sz)/max(sz) ≥ t) before any per-shingle work
-    if sizes is None:
-        sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    survivors = (
-        cands.join(
-            sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")),
-            "id_a",
+    does not re-aggregate the postings. Candidates that already carry
+    ``sz_a``/``sz_b`` columns (round 8 — the inline size-threaded path
+    of ``minhash_lsh_candidates``) skip both sizes joins AND the ratio
+    prefilter, which was applied inside the pair generator."""
+    if "sz_a" in cands.columns and "sz_b" in cands.columns:
+        survivors = cands
+    else:
+        # size-ratio prefilter first (tiny sizes table; J ≥ t forces
+        # min(sz)/max(sz) ≥ t) before any per-shingle work
+        if sizes is None:
+            sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+        survivors = (
+            cands.join(
+                sizes.select(
+                    F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")
+                ),
+                "id_a",
+            )
+            .join(
+                sizes.select(
+                    F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")
+                ),
+                "id_b",
+            )
+            .filter(
+                F.least(F.col("sz_a"), F.col("sz_b"))
+                / F.greatest(F.col("sz_a"), F.col("sz_b"))
+                >= threshold
+            )
         )
-        .join(
-            sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")),
-            "id_b",
-        )
-        .filter(
-            F.least(F.col("sz_a"), F.col("sz_b"))
-            / F.greatest(F.col("sz_a"), F.col("sz_b"))
-            >= threshold
-        )
-    )
     sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     # postings-restricted exact verify: replicate each survivor pair across
@@ -703,9 +803,13 @@ def minhash_dedup_pairs_incremental(
         )
         cands = new_old.unionByName(new_new).distinct()
         sh_all = index.postings.unionByName(sh_new)
+        # round 8: the verifier references sizes TWICE (sz_a and sz_b
+        # join sides) and Catalyst does not CSE across references, so a
+        # lazy union here re-runs the corpus-postings aggregate once per
+        # side; the frame is doc-count-sized — materialize it once
         sizes_all = index.sizes.unionByName(
             sh_new.groupBy(id_col).agg(F.count("*").alias("sz"))
-        )
+        ).localCheckpoint(eager=True)
         result = verify_pairs(cands, sh_all, id_col, threshold, sizes=sizes_all)
         return result.localCheckpoint(eager=True)
     finally:

@@ -198,24 +198,32 @@ def kg_golden_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     links = _doc_links(spark, sf_dir).persist()
-    # the summary unions EIGHT aggregate branches over nodes/triples —
-    # persist both (and eager-checkpoint the tiny result) or each branch
-    # re-runs the scan+link+pair DAG
-    nodes = links.select("entity_id").distinct().persist()
+    # round-8 action-count collapse (same output, test/oracle-pinned):
+    # the round-4 summary is TWO passes (one tagged union reading
+    # `nodes` ONCE + one tier groupBy reading `triples` twice), so the
+    # old nodes.persist() cached a frame with a single consumer, the
+    # encode_ids probe paid a driver action to hash a 13-entity
+    # vocabulary, and the rare-prune pass rescanned links to prune a
+    # dictionary where every entity is frequent (the same reasoning
+    # kg_triples documents; the prune and encoding paths stay benched in
+    # the build_kg pipeline's auto modes). `triples` is eager-
+    # checkpointed (it is edge-tier-sized, 78 rows at sf0.1) instead of
+    # lazily persisted: the summary references it twice IN ONE JOB, and
+    # a racing lazy cache fill computes the whole cooccurrence DAG once
+    # per reference (the closure.py round-8 finding).
     triples = cooccurrence_edges(
         links,
         doc_col="doc_id",
         ent_col="entity_id",
         min_count=20,
         tiers=((300, "high"), (150, "medium"), (50, "low"), (20, "weak")),
-        encode_ids=True,  # links is persisted: the probe is one cached scan
+        prune_rare=False,
         input_distinct=True,  # fused scan emits per-doc-distinct links
-    ).persist()
+    ).localCheckpoint(eager=True)
+    nodes = links.select("entity_id").distinct()
     try:
         return metrics_summary_df(nodes, triples).localCheckpoint(eager=True)
     finally:
-        triples.unpersist()
-        nodes.unpersist()
         links.unpersist()
 
 
@@ -2530,7 +2538,15 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         prune_rare=False,
     )
     return pagerank_fixed_point(
-        edges, src="subj", dst="obj", weight="shared_docs", iterations=5
+        edges,
+        src="subj",
+        dst="obj",
+        weight="shared_docs",
+        iterations=5,
+        # fixed small iteration count: chain the loop lazily into one
+        # job (round 8; 4.5->3.7s, bit-identical by integer-sum
+        # associativity)
+        checkpoint_every=0,
     )
 
 

@@ -143,3 +143,36 @@ def test_pagerank_zero_weight_edges_dropped(spark):
     rows = [("a", "b", 2), ("a", "c", 0)]
     got = _pr(spark, rows)
     assert set(got) == {"a", "b"}
+
+
+def test_pagerank_lazy_chain_matches_checkpointed(spark):
+    # round-8 optimization: checkpoint_every=0 chains all iterations
+    # into one lazy plan — integer fixed-point sums are associative, so
+    # the ranks must be BIT-identical to the per-iteration-checkpoint
+    # mode
+    from biomedical_knowledge_graph_spark.operators.pagerank import (
+        pagerank_fixed_point,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("b", "c", 1), ("c", "a", 2), ("c", "d", 5)],
+        "src string, dst string, weight long",
+    )
+    ck = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_fixed_point(edges, iterations=4).collect()
+    }
+    lazy = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_fixed_point(
+            edges, iterations=4, checkpoint_every=0
+        ).collect()
+    }
+    cadence = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_fixed_point(
+            edges, iterations=4, checkpoint_every=3
+        ).collect()
+    }
+    assert lazy == ck
+    assert cadence == ck

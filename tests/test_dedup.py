@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import itertools
 
+from pyspark.sql import functions as F
+
 from biomedical_knowledge_graph_spark.operators import dedup
 
 DOCS = [
@@ -213,3 +215,45 @@ def test_minhash_incremental_matches_batch_restriction(spark):
         ).collect()
     }
     assert (4, 7) in got2
+
+
+def test_minhash_inline_size_path_matches_classic(spark):
+    # round-8 optimization: sizes computed inside the signature aggregate
+    # and threaded through the banded cells (ratio prefilter before the
+    # candidate distinct, no sizes joins in verify) must yield the exact
+    # same verified pairs as the classic candidates + sizes-join path,
+    # for every signature impl
+    docs = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(DOCS)], "doc_id long, text string"
+    )
+    sh = dedup.shingle_sets(docs, "doc_id", "text").persist()
+    try:
+        for impl, fn in (
+            ("jvm", dedup.minhash_signatures_jvm),
+            ("arrow", dedup.minhash_signatures),
+            ("oph", dedup.minhash_signatures_oph),
+        ):
+            sigs = fn(docs, shingles=sh, with_size=True)
+            # sz column equals the per-doc distinct shingle count
+            got_sz = {r.doc_id: r.sz for r in sigs.collect()}
+            want_sz = {
+                r.doc_id: r.c
+                for r in sh.groupBy("doc_id").agg(F.count("*").alias("c")).collect()
+            }
+            assert got_sz == want_sz, impl
+            inline = dedup.minhash_lsh_candidates(
+                sigs, size_ratio_at_least=0.5
+            )
+            assert set(inline.columns) == {"id_a", "id_b", "sz_a", "sz_b"}
+            classic = dedup.minhash_lsh_candidates(fn(docs, shingles=sh))
+            v_inline = {
+                (r.id_a, r.id_b, r.jaccard)
+                for r in dedup.verify_pairs(inline, sh, threshold=0.5).collect()
+            }
+            v_classic = {
+                (r.id_a, r.id_b, r.jaccard)
+                for r in dedup.verify_pairs(classic, sh, threshold=0.5).collect()
+            }
+            assert v_inline == v_classic, impl
+    finally:
+        sh.unpersist()
