@@ -99,13 +99,28 @@ def connected_components(
         after_small = after_small.localCheckpoint(eager=False)
         # Converged when every edge points directly at a component min:
         # no node appears on both sides (star graph = 2-level forest).
+        # Round 8: the probe reads after_small ONCE (explode both
+        # endpoints, tag the side, group) — the old self-join referenced
+        # the un-materialized checkpoint twice, and its two concurrent
+        # exchange legs RACED the cache fill, re-running the whole star
+        # round once per side (the closure.py round-8 finding); this
+        # shape is also one exchange instead of two plus a join build.
         two_level = (
-            after_small.alias("a")
-            .join(
-                after_small.alias("b"),
-                F.col("a.dst") == F.col("b.src"),
-                "inner",
+            after_small.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("src").alias("n"), F.lit(0).alias("s")
+                        ),
+                        F.struct(
+                            F.col("dst").alias("n"), F.lit(1).alias("s")
+                        ),
+                    )
+                ).alias("_t")
             )
+            .groupBy("_t.n")
+            .agg(F.min("_t.s").alias("_mn"), F.max("_t.s").alias("_mx"))
+            .filter((F.col("_mn") == 0) & (F.col("_mx") == 1))
             .limit(1)
             .count()
             == 0

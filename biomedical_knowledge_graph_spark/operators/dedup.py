@@ -716,7 +716,17 @@ def minhash_index(
     tests, the registry query) and release with ``index.unpersist()``;
     a PRODUCTION index is three stored tables (write the frames once,
     read them per batch), where re-reading is a scan, not a recompute,
-    and no cache is wanted."""
+    and no cache is wanted.
+
+    Round 8: ``persist=True`` additionally eager-checkpoints the
+    SIGNATURE frame (doc-count × k longs — tiny) with the per-doc
+    shingle size as its free extra aggregate, and derives BOTH ``bands``
+    and ``sizes`` from it. Before, ``sizes`` was its own full
+    corpus-postings aggregate and every consumer of ``bands`` re-ran
+    the whole k-MIN signature aggregate from the shingle cache; now the
+    corpus pays one shingling pass + one signature pass, total. The
+    persist=False path keeps the lazy frames (a production pipeline
+    stores each frame once and never re-derives)."""
     sign_fn = {
         "jvm": minhash_signatures_jvm,
         "arrow": minhash_signatures,
@@ -725,6 +735,15 @@ def minhash_index(
     sh = shingle_sets(df, id_col, text_col, n)
     if persist:
         sh = sh.persist()
+        sigs = sign_fn(
+            df, id_col, text_col, n, num_hashes, seed, shingles=sh,
+            with_size=True,
+        ).localCheckpoint(eager=True)
+        return MinHashIndex(
+            bands=banded_memberships(sigs, id_col, bands, rows_per_band),
+            postings=sh,
+            sizes=sigs.select(id_col, "sz"),
+        )
     sigs = sign_fn(df, id_col, text_col, n, num_hashes, seed, shingles=sh)
     return MinHashIndex(
         bands=banded_memberships(sigs, id_col, bands, rows_per_band),
@@ -771,9 +790,16 @@ def minhash_dedup_pairs_incremental(
     }[signature_impl]
     sh_new = shingle_sets(new_df, id_col, text_col, n).persist()
     try:
+        # round 8: sign ONCE with the per-doc size as the free extra
+        # aggregate, eager-checkpoint the (batch-doc × k longs) frame,
+        # and derive band memberships AND batch sizes from it — before,
+        # the new-vs-corpus join and the new-vs-new cells each re-ran
+        # the whole batch k-MIN signature aggregate, and the verifier's
+        # sizes union re-aggregated the batch postings a third time
         sigs_new = sign_fn(
-            new_df, id_col, text_col, n, num_hashes, seed, shingles=sh_new
-        )
+            new_df, id_col, text_col, n, num_hashes, seed, shingles=sh_new,
+            with_size=True,
+        ).localCheckpoint(eager=True)
         banded_new = banded_memberships(sigs_new, id_col, bands, rows_per_band)
         # new-vs-corpus: probe the stored band table. The index side joins
         # on its storage key; shuffle_hash (not broadcast) — the batch's
@@ -797,18 +823,35 @@ def minhash_dedup_pairs_incremental(
             .filter(F.col("id_a") != F.col("id_b"))
             .distinct()
         )
-        # new-vs-new: standard per-cell emission within the batch
-        new_new = minhash_lsh_candidates(
-            sigs_new, id_col, bands, rows_per_band
+        # new-vs-new: standard per-cell emission within the batch, built
+        # from the SAME checkpointed membership frame as the corpus join
+        # (minhash_lsh_candidates(sigs_new) would re-band — and re-run
+        # the signature aggregate — from scratch)
+        cells = (
+            banded_new.groupBy("band", "bucket")
+            .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+            .filter(F.size("_ids") >= 2)
+        )
+        new_new = (
+            cells.select("_ids", F.posexplode("_ids").alias("_i", "_x"))
+            .select(
+                F.col("_x").alias("id_a"),
+                F.explode(
+                    F.expr("slice(_ids, _i + 2, size(_ids))")
+                ).alias("id_b"),
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+            .distinct()
         )
         cands = new_old.unionByName(new_new).distinct()
         sh_all = index.postings.unionByName(sh_new)
         # round 8: the verifier references sizes TWICE (sz_a and sz_b
         # join sides) and Catalyst does not CSE across references, so a
-        # lazy union here re-runs the corpus-postings aggregate once per
-        # side; the frame is doc-count-sized — materialize it once
+        # lazy union here re-runs its inputs once per side; the batch
+        # half now reads the checkpointed signature frame (free), and
+        # the doc-count-sized union is materialized once
         sizes_all = index.sizes.unionByName(
-            sh_new.groupBy(id_col).agg(F.count("*").alias("sz"))
+            sigs_new.select(id_col, "sz")
         ).localCheckpoint(eager=True)
         result = verify_pairs(cands, sh_all, id_col, threshold, sizes=sizes_all)
         return result.localCheckpoint(eager=True)

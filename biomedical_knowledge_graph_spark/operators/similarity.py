@@ -235,6 +235,14 @@ def lsh_near_pairs(
         bucketize, schema=f"_vid {id_type}, tbl int, bucket long"
     ).persist()
     base = base.persist()
+    # round 8: materialize both caches in dependency order BEFORE the
+    # multi-consumer plan runs. Lazily persisted, the candidate join's
+    # two sides and the oversized-cell broadcast all start concurrently
+    # and RACE the cache fill — the plan showed the Arrow matmul
+    # (MapInPandas) and the corpus scan + perturbation executing once
+    # per side instead of once. One tiny count() action fills base then
+    # bucketed exactly once.
+    bucketed.count()
     try:
         cands = _bounded_cell_candidates(bucketed, max_cell_size)
         va = base.select(
@@ -298,16 +306,29 @@ def _bounded_cell_candidates(
         )
         .drop("_csz")
     )
-    a, b = with_sub.alias("a"), with_sub.alias("b")
+    # pair emission from per-cell sorted id arrays (round 8) — the same
+    # groupBy + posexplode/slice-explode generator idiom as
+    # minhash_lsh_candidates and simhash_near_pairs, replacing the
+    # self-join: one exchange of the bucketed frame instead of two join
+    # sides plus a hash-relation build, with the identical (id_a < id_b)
+    # candidate set streaming out of codegen'd generators. Each _vid
+    # appears at most once per (tbl, bucket) by construction, so the
+    # strict ordering of the sorted array reproduces the old a < b
+    # predicate exactly.
+    cells = (
+        with_sub.groupBy("tbl", "bucket", "_subcell")
+        .agg(F.sort_array(F.collect_list("_vid")).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a._subcell") == F.col("b._subcell"))
-            & (F.col("a._vid") < F.col("b._vid")),
+        cells.select("_ids", F.posexplode("_ids").alias("_i", "_x"))
+        .select(
+            F.col("_x").alias("id_a"),
+            F.explode(
+                F.expr("slice(_ids, _i + 2, size(_ids))")
+            ).alias("id_b"),
         )
-        .select(F.col("a._vid").alias("id_a"), F.col("b._vid").alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
         .distinct()
     )
 

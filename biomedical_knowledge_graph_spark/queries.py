@@ -78,7 +78,7 @@ def _doc_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup + dictionary lookup in-process replaces the broadcast join AND
     the distinct shuffle — oracle-identical to the scan→join→distinct
     chain it replaced)."""
-    docs = load(spark, sf_dir, "documents", parallelize=True)
+    docs = load(spark, sf_dir, "documents")
     link_map: dict[str, list[tuple[str, str]]] = {}
     for alias, eid, etype in DOC_ENTITY_DICT:
         link_map.setdefault(alias, []).append((eid, etype))
@@ -114,7 +114,7 @@ def kg_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     "A11 — per-(doc, entity) occurrence histogram",
 )
 def kg_mention_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents", parallelize=True)
+    docs = load(spark, sf_dir, "documents")
     dim = doc_entity_dim(spark)
     mentions = scan_mentions(
         docs, [a for a, _, _ in DOC_ENTITY_DICT], id_col="doc_id", text_col="text"
@@ -317,7 +317,7 @@ def kg_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs emitted JVM-side from the sorted per-order array) instead of a
     # doc-key self-join — same scale-safe shape cooccurrence_edges uses;
     # per-order fan-out is bounded (≤7 lineitems) so pairs stay linear
-    li = load(spark, sf_dir, "lineitem", parallelize=True)
+    li = load(spark, sf_dir, "lineitem")
     edges = (
         cooccurrence_edges(
             li,
@@ -551,7 +551,7 @@ _SH_CTE = """
     "exact dedup — hash-groupBy on content digest",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents", parallelize=True)
+    docs = load(spark, sf_dir, "documents")
     return _dedup.exact_duplicate_groups(docs).select(
         "content_hash", "keep_id", "n_docs"
     )
@@ -627,7 +627,7 @@ def _simhash_oracle() -> str:
     "bit_count(xor) exact hamming",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents", parallelize=True)
+    docs = load(spark, sf_dir, "documents")
     return _dedup.simhash_near_pairs(docs, max_hamming=6)
 
 
@@ -656,7 +656,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ANN baseline — exact brute-force cosine top-k with broadcast queries",
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings", parallelize=True)
+    emb = load(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return _sim.cosine_topk(emb, queries_df, k=5).withColumn(
         "rank", F.col("rank").cast("long")
@@ -768,7 +768,7 @@ def _lsh_topk_oracle(
     "structure itself is value-checked",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings", parallelize=True)
+    emb = load(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return _sim.lsh_topk(emb, queries_df, dim=64, k=5, n_planes=8).withColumn(
         "rank", F.col("rank").cast("long")
@@ -784,7 +784,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and probe set literally",
 )
 def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings", parallelize=True)
+    emb = load(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return _sim.lsh_topk(
         emb, queries_df, dim=64, k=5, n_planes=8, n_probe=3
@@ -840,7 +840,7 @@ _IVF_CENTROID_IDS = [0, 50, 100, 150, 200, 250, 300, 350]
     "exactly, so the approximate structure is value-checked",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings", parallelize=True)
+    emb = load(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return _sim.ivf_topk(
         emb, queries_df, centroid_ids=_IVF_CENTROID_IDS, k=5
@@ -926,7 +926,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "themselves are value-checked",
 )
 def ann_ivf_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings", parallelize=True)
+    emb = load(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     cents = _sim.sampled_centroids(emb, k=8)
     return _sim.ivf_topk_from_centroids(
@@ -1008,7 +1008,7 @@ def _perturbed_corpus(emb: DataFrame) -> DataFrame:
     "24 tables: miss prob ~1e-8 at cosine 0.95)",
 )
 def embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings", parallelize=True)
+    emb = load(spark, sf_dir, "embeddings")
     return _sim.lsh_near_pairs(
         _perturbed_corpus(emb), dim=64, threshold=0.9, n_planes=6, n_tables=24
     )
@@ -1604,7 +1604,7 @@ def segment_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(talisman_gene_validator.py:294-329 analogue)",
 )
 def unmatched_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents", parallelize=True)
+    docs = load(spark, sf_dir, "documents")
     dim = doc_entity_dim(spark)
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
@@ -2615,7 +2615,7 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_topk,
     )
 
-    docs = load(spark, sf_dir, "documents", parallelize=True)
+    docs = load(spark, sf_dir, "documents")
     return bm25_topk(docs, list(_BM25_TERMS), k=15)
 
 
@@ -2729,7 +2729,7 @@ def doc_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "no Python, no window, map-side combine on (doc, kind, gram)",
 )
 def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents", parallelize=True)
+    docs = load(spark, sf_dir, "documents")
     return _ts.repetition_features(docs)
 
 
@@ -2928,7 +2928,7 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted_priority_sample,
     )
 
-    docs = load(spark, sf_dir, "documents", parallelize=True).select(
+    docs = load(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
     return weighted_priority_sample(
@@ -3005,7 +3005,7 @@ def doc_remove_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         remove_repeated_lines,
     )
 
-    docs = load(spark, sf_dir, "documents", parallelize=True).select(
+    docs = load(spark, sf_dir, "documents").select(
         "doc_id", _boiler_aug_col().alias("text")
     )
     return remove_repeated_lines(docs, min_count=3)
@@ -3192,7 +3192,7 @@ def doc_domain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         registrable_domain,
     )
 
-    docs = load(spark, sf_dir, "documents", parallelize=True).select(
+    docs = load(spark, sf_dir, "documents").select(
         "doc_id",
         "n_chars",
         registrable_domain(_host(F.expr(_URL_AUG_SQL))).alias("domain"),
@@ -3232,7 +3232,7 @@ def doc_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget_select,
     )
 
-    docs = load(spark, sf_dir, "documents", parallelize=True).select(
+    docs = load(spark, sf_dir, "documents").select(
         "doc_id",
         "n_chars",
         _ts.token_count("text").alias("n_tokens"),
@@ -3449,7 +3449,7 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biomedical_knowledge_graph_spark.operators import dedup as _dd
 
-    docs = load(spark, sf_dir, "documents", parallelize=True)
+    docs = load(spark, sf_dir, "documents")
     baseline = docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) != 0)
     new_batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == 0)
     index = _dd.minhash_index(baseline, persist=True)
@@ -3821,7 +3821,7 @@ def kg_typed_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return pattern_typed_relations(
-        load(spark, sf_dir, "documents", parallelize=True),
+        load(spark, sf_dir, "documents"),
         doc_entity_dim(spark),
         _REL_VERBS,
     )
@@ -3901,7 +3901,7 @@ def doc_remove_repeated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit(_RW_SENT))
         .otherwise(F.concat(F.lit("tail "), F.col("doc_id").cast("string"))),
     )
-    docs = load(spark, sf_dir, "documents", parallelize=True).select(
+    docs = load(spark, sf_dir, "documents").select(
         "doc_id", aug.alias("text")
     )
     return remove_repeated_windows(docs, w=8, min_count=2)
@@ -4014,7 +4014,7 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigram_lm_scores,
     )
 
-    return bigram_lm_scores(load(spark, sf_dir, "documents", parallelize=True))
+    return bigram_lm_scores(load(spark, sf_dir, "documents"))
 
 
 @register(
