@@ -95,9 +95,20 @@ def bm25_topk(
     else:
         # Two corpus scalars; floor-rounded avgdl is part of the spec so
         # the oracle can reproduce it exactly. Single bounded driver
-        # action.
-        stats = toks.agg(
-            F.count("*").alias("n"), F.sum("dl").alias("tot")
+        # action. Round 8: the stats pass counts tokens WITHOUT
+        # materializing the split array — size(split(s, " ")) is always
+        # spaces(s) + 1 (split keeps empty tokens, incl. trailing), so
+        # length-minus-length(translate)+1 is provably identical
+        # (property-pinned) at a fraction of the allocation cost.
+        stats = docs.agg(
+            F.count("*").alias("n"),
+            F.sum(
+                # NULL text propagates to NULL — identical to
+                # size(split(NULL, ' ')) under Spark 4 semantics
+                F.length(text_col)
+                - F.length(F.translate(F.col(text_col), " ", ""))
+                + 1
+            ).alias("tot"),
         ).first()
         n_docs = int(stats["n"])
         total_tokens = int(stats["tot"]) if stats["tot"] is not None else 0

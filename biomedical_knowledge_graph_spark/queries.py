@@ -1067,7 +1067,7 @@ def _lang_hits_sql(lang: str) -> str:
     "language-ID — marker-token argmax heuristic (when-chain, F4/F5 shape)",
 )
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", parallelize=True)
     return docs.select(
         "doc_id",
         F.col("lang").alias("actual_lang"),
@@ -3426,7 +3426,7 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed_linear_score,
     )
 
-    return hashed_linear_score(load(spark, sf_dir, "documents"))
+    return hashed_linear_score(load(spark, sf_dir, "documents", parallelize=True))
 
 
 @register(

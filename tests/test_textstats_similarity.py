@@ -628,3 +628,51 @@ def test_video_metadata_frame(spark):
     rows = {r.doc_id: r for r in multimodal.video_metadata(df).collect()}
     assert rows[1].container == "avi" and rows[1].n_frames == 5
     assert rows[2].container == "unknown" and rows[2].width is None
+
+
+def test_bm25_stats_pass_token_count_identity(spark):
+    # round-8 optimization: the no-metadata stats pass counts tokens as
+    # length - length(translate(s, ' ', '')) + 1 instead of
+    # size(split(s, ' ')) — identical by construction (split keeps empty
+    # tokens incl. trailing, so the count is always spaces + 1; NULL
+    # propagates to NULL on both sides under Spark 4). Pin the identity
+    # on adversarial strings and pin the two bm25 paths end-to-end.
+    from biomedical_knowledge_graph_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    rows = [
+        (1, "plain tokens here"),
+        (2, "  leading and   multiple  "),
+        (3, ""),
+        (4, " "),
+        (5, "single"),
+        (6, None),
+        (7, "trailing space "),
+        (8, "customer dup query scan customer"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = docs.select(
+        F.size(F.split(F.col("text"), " ")).alias("a"),
+        (
+            F.length("text")
+            - F.length(F.translate(F.col("text"), " ", ""))
+            + 1
+        ).alias("b"),
+    ).collect()
+    for r in got:
+        assert r.a == r.b, (r.a, r.b)
+    # end-to-end: the computed-stats path must equal the explicit-stats
+    # path (which tokenizes) on a corpus without nulls
+    clean = docs.filter(F.col("text").isNotNull())
+    n = clean.count()
+    tot = sum(
+        r.a for r in clean.select(
+            F.size(F.split(F.col("text"), " ")).alias("a")
+        ).collect()
+    )
+    auto = bm25_topk(clean, ["customer", "dup"], k=5).collect()
+    manual = bm25_topk(
+        clean, ["customer", "dup"], k=5, corpus_stats=(n, tot)
+    ).collect()
+    assert auto == manual
