@@ -3449,7 +3449,7 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biomedical_knowledge_graph_spark.operators import dedup as _dd
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", parallelize=True)
     baseline = docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) != 0)
     new_batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == 0)
     index = _dd.minhash_index(baseline, persist=True)
