@@ -74,7 +74,9 @@ def transitive_closure(
         .localCheckpoint(eager=max_depth is not None)
     )
 
-    def _grow(paths: DataFrame, eager: bool) -> DataFrame:
+    def _grow(
+        paths: DataFrame, eager: bool, checkpoint: bool = True
+    ) -> DataFrame:
         left = paths.select(F.col("a"), F.col("b").alias("_m"))
         right = paths.select(F.col("a").alias("_m"), F.col("b"))
         # doubling join on the meeting node; shuffle_hash — both sides
@@ -83,11 +85,8 @@ def transitive_closure(
         # union of two frames DERIVED from the checkpointed RDD (not the
         # frame with itself — see components.py on
         # Union.rewriteConstraints with LogicalRDD origins)
-        return (
-            paths.union(new.filter(F.col("a") != F.col("b")))
-            .distinct()
-            .localCheckpoint(eager=eager)
-        )
+        grown = paths.union(new.filter(F.col("a") != F.col("b"))).distinct()
+        return grown.localCheckpoint(eager=eager) if checkpoint else grown
 
     if max_depth is not None:
         if max_depth < 1:
@@ -100,8 +99,13 @@ def transitive_closure(
         # CPU grew 1.7 s → 49 s over 4 rounds at sf0.1; eager
         # materialization removed it, 8.9 s → 7.4 s wall and ~5× less
         # CPU). Probe mode below materializes via its count() instead.
-        for _ in range(math.ceil(math.log2(max_depth)) if max_depth > 1 else 0):
-            paths = _grow(paths, eager=True)
+        rounds = math.ceil(math.log2(max_depth)) if max_depth > 1 else 0
+        for i in range(rounds):
+            # the LAST round's output has exactly one consumer (the
+            # caller's action), so checkpointing it is a wasted barrier
+            # — leave it lazy; rounds 1..r-1 feed three references each
+            # and stay eager (see above)
+            paths = _grow(paths, eager=True, checkpoint=i + 1 < rounds)
         return paths.select(F.col("a").alias(src), F.col("b").alias(dst))
 
     n_prev = paths.count()

@@ -676,3 +676,37 @@ def test_bm25_stats_pass_token_count_identity(spark):
         clean, ["customer", "dup"], k=5, corpus_stats=(n, tot)
     ).collect()
     assert auto == manual
+
+
+def test_ivf_assign_argmax_matches_window_with_ties(spark):
+    # round-8 optimization: n_best=1 + numeric cent ids use a map-side
+    # argmax (max_by over (score, -cent_id)) instead of the window; the
+    # tie-break must match the window's (score desc, cent_id asc)
+    # exactly. Duplicate centroids force rounded-score ties.
+    from biomedical_knowledge_graph_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3 + 1), float((i * 7) % 5)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    # centroids 10 and 11 are identical -> every vector ties on them
+    cents = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [1.0, 0.0]), (12, [0.0, 1.0])],
+        "cent_id long, cvec array<float>",
+    )
+    fast = {
+        (r.vec_id, r.cell) for r in ivf_assign(vecs, cents).collect()
+    }
+    # string ids route through the window path — same data, same picks
+    cents_s = cents.selectExpr(
+        "cast(cent_id as string) AS cent_id", "cvec"
+    )
+    slow = {
+        (r.vec_id, int(r.cell))
+        for r in ivf_assign(vecs, cents_s).collect()
+    }
+    assert fast == slow
+    # ties resolve to the LOWER cent_id
+    assert all(c != 11 for _, c in fast)
